@@ -1,0 +1,82 @@
+"""Multi-head attention core.
+
+One entry point, `multi_head_attention`, used by every attention site in the
+framework (UNet self/cross/gated attention, relation fuser, VAE attn block,
+CLIP text encoder). Dispatches between:
+
+  * ``xla``   — einsum + f32 softmax; XLA fuses this well for short kv;
+  * ``flash`` — Pallas TPU flash-attention kernel (ops/pallas/flash_attention)
+                for long self-attention sequences where materializing the
+                (N x N) score matrix is HBM-bandwidth bound.
+
+The reference computes this with explicit einsums per head
+(GLIGEN/ldm/modules/attention.py:101-178); numerics here match it with
+softmax carried out in float32.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+# Flash kernel is profitable only for long sequences; below this the XLA path
+# wins on kernel-launch and padding overheads.
+_FLASH_MIN_Q_LEN = 512
+
+
+@functools.lru_cache(None)
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _flash_enabled() -> bool:
+    return os.environ.get("LLT2I_DISABLE_FLASH", "0") != "1"
+
+
+def multi_head_attention(q, k, v, num_heads: int, mask=None, impl: str = "auto"):
+    """Scaled dot-product attention over packed heads.
+
+    q: (B, N, H*C); k, v: (B, M, H*C); mask: optional (B, M) key-validity
+    bool/0-1 mask (broadcast over heads and queries, matching reference
+    CrossAttention.fill_inf_from_mask). Returns (B, N, H*C).
+    """
+    b, n, hc = q.shape
+    m = k.shape[1]
+    c = hc // num_heads
+    scale = c ** -0.5
+
+    if impl == "auto":
+        use_flash = (
+            _on_tpu()
+            and _flash_enabled()
+            and mask is None
+            and n >= _FLASH_MIN_Q_LEN
+            and m >= 128
+        )
+        impl = "flash" if use_flash else "xla"
+
+    qh = q.reshape(b, n, num_heads, c).transpose(0, 2, 1, 3)  # B,H,N,C
+    kh = k.reshape(b, m, num_heads, c).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, m, num_heads, c).transpose(0, 2, 1, 3)
+
+    if impl == "flash":
+        from .pallas.flash_attention import flash_attention
+
+        out = flash_attention(qh, kh, vh, scale=scale)
+    else:
+        sim = jnp.einsum("bhnc,bhmc->bhnm", qh, kh, preferred_element_type=jnp.float32)
+        sim = sim * scale
+        if mask is not None:
+            key_mask = mask.astype(bool)[:, None, None, :]
+            sim = jnp.where(key_mask, sim, _NEG_INF)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhnm,bhmc->bhnc", attn, vh)
+
+    return out.transpose(0, 2, 1, 3).reshape(b, n, hc)

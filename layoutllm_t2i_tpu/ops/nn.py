@@ -1,0 +1,99 @@
+"""Primitive NN ops as pure functions over parameter pytrees.
+
+Layout conventions (TPU-native):
+  * activations are NHWC (torch reference is NCHW);
+  * conv kernels are HWIO (converted from torch OIHW);
+  * linear kernels are (in, out) (converted from torch (out, in)).
+
+Parameter pytrees are nested dicts whose keys mirror the torch module names
+(e.g. ``params['in_layers']['0']['weight']``), which makes `.pth` checkpoint
+conversion mechanical (see checkpoint/convert.py).
+
+Numerical parity notes vs the reference:
+  * GroupNorm32 (GLIGEN util.py:226-228) computes in float32 and casts back —
+    all norms here compute statistics in float32;
+  * GEGLU (GLIGEN attention.py:38-45) uses torch's exact (erf) GELU, so we
+    pass ``approximate=False``;
+  * eps values differ per site: UNet res-blocks use torch's GroupNorm default
+    1e-5, spatial-transformer/VAE norms use 1e-6.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def linear(p, x):
+    y = jnp.dot(x, p["weight"].astype(x.dtype))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv2d(p, x, stride: int = 1, padding=1):
+    """2-D conv; x: NHWC, kernel: HWIO. ``padding`` is an int or explicit list."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
+    """GroupNorm over NHWC with float32 statistics (GroupNorm32 parity)."""
+    n, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(n, h, w, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * lax.rsqrt(var + eps)
+    xf = xf.reshape(n, h, w, c)
+    xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(x.dtype)
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * lax.rsqrt(var + eps)
+    xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(x.dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def geglu_ff(p, x):
+    """FeedForward(glu=True): Linear(d->8d) -> x*gelu(gate) -> Linear(4d->d).
+
+    Torch names: net.0.proj (GEGLU projection), net.2 (output linear);
+    reference GLIGEN/ldm/modules/attention.py:38-65.
+    """
+    h = linear(p["net"]["0"]["proj"], x)
+    a, gate = jnp.split(h, 2, axis=-1)
+    h = a * gelu(gate)
+    return linear(p["net"]["2"], h)
+
+
+def nearest_upsample_2x(x):
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x):
+    n, h, w, c = x.shape
+    return x.reshape(n, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
