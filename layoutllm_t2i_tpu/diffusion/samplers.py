@@ -1,0 +1,223 @@
+"""PLMS / DDIM samplers compiled into a single lax.scan.
+
+Reference behavior: GLIGEN/ldm/models/diffusion/{plms.py, ddim.py}. The
+reference runs a host-side Python loop that per step (a) mutates every gated
+module's ``scale``, (b) reloads SD first-conv weights from disk when the
+grounding alpha hits 0, and (c) launches two sequential UNet forwards for
+classifier-free guidance. Here:
+
+  * per-step grounding alpha and the SD-conv flag are scanned inputs;
+  * the first-conv restore is a ``where`` over two weight sets
+    (openaimodel.py:393-408 becomes a select, not a weight swap);
+  * CFG runs cond+uncond as one doubled batch;
+  * the PLMS Adams-Bashforth history lives in the scan carry; the step-0
+    Heun warm start is unrolled outside the scan.
+
+The known reference bug where DDIM's uncond input omits ``relations``
+(ddim.py:116) is fixed: relations are passed in both CFG halves, matching
+PLMS (plms.py:118-121).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.schedules import (
+    DDPMSchedule,
+    alpha_generator,
+    make_ddim_sampling_parameters,
+    make_ddim_timesteps,
+)
+
+
+class StepTables(NamedTuple):
+    """Per-step coefficient tables in *loop order* (t descending)."""
+
+    t: jnp.ndarray              # (S,) current timestep
+    t_next: jnp.ndarray         # (S,) next (smaller) timestep, for Heun
+    a_t: jnp.ndarray            # (S,) alpha_cumprod at t
+    a_prev: jnp.ndarray         # (S,)
+    sigma: jnp.ndarray          # (S,)
+    sqrt_one_minus_at: jnp.ndarray  # (S,)
+    fuser_scale: jnp.ndarray    # (S,) grounding alpha schedule
+    use_sd_conv: jnp.ndarray    # (S,) bool: alpha == 0 -> SD first conv
+
+
+def make_step_tables(
+    schedule: DDPMSchedule,
+    steps: int,
+    eta: float = 0.0,
+    alpha_type=None,
+) -> StepTables:
+    ddim_ts = make_ddim_timesteps("uniform", steps, schedule.num_timesteps)
+    # range(0, T, T//steps) can yield ceil(T / (T//steps)) entries when steps
+    # does not divide T — everything below follows the actual table length
+    n_steps = len(ddim_ts)
+    sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(
+        schedule.alphas_cumprod.astype(np.float64), ddim_ts, eta
+    )
+    time_range = ddim_ts[::-1].copy()
+    t_next = np.concatenate([time_range[1:], time_range[-1:]])
+    if alpha_type is not None:
+        fuser = np.asarray(alpha_generator(n_steps, list(alpha_type)), dtype=np.float32)
+    else:
+        fuser = np.ones(n_steps, dtype=np.float32)
+    f32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.float32))
+    return StepTables(
+        t=jnp.asarray(time_range, dtype=jnp.int32),
+        t_next=jnp.asarray(t_next, dtype=jnp.int32),
+        a_t=f32(alphas[::-1]),
+        a_prev=f32(alphas_prev[::-1]),
+        sigma=f32(sigmas[::-1]),
+        sqrt_one_minus_at=f32(np.sqrt(1.0 - alphas[::-1])),
+        fuser_scale=f32(fuser),
+        use_sd_conv=jnp.asarray((fuser == 0) & (alpha_type is not None)),
+    )
+
+
+def _update(x, e_t, a_t, a_prev, sigma, sqrt_1m_at, noise):
+    """x_prev and pred_x0 from an eps estimate (plms.py:126-140)."""
+    pred_x0 = (x - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma ** 2, 0.0)) * e_t
+    return jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * noise, pred_x0
+
+
+@dataclasses.dataclass(frozen=True)
+class InpaintBlend:
+    """Known-region replacement each step (ddim.py:98-102)."""
+
+    mask: jnp.ndarray  # (B, H, W, C) 1 = keep original
+    z0: jnp.ndarray    # clean latent
+
+
+def _q_sample(schedule_dev, z0, t, rng):
+    noise = jax.random.normal(rng, z0.shape, z0.dtype)
+    sa = schedule_dev["sqrt_alphas_cumprod"][t].reshape(-1, 1, 1, 1)
+    s1m = schedule_dev["sqrt_one_minus_alphas_cumprod"][t].reshape(-1, 1, 1, 1)
+    return sa * z0 + s1m * noise
+
+
+def _schedule_device(schedule: DDPMSchedule):
+    return {
+        "sqrt_alphas_cumprod": jnp.asarray(schedule.sqrt_alphas_cumprod),
+        "sqrt_one_minus_alphas_cumprod": jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod),
+    }
+
+
+def plms_sample(
+    denoise_fn,
+    tables: StepTables,
+    x_init: jnp.ndarray,
+    schedule: Optional[DDPMSchedule] = None,
+    inpaint: Optional[InpaintBlend] = None,
+    rng: Optional[jax.Array] = None,
+):
+    """PLMS (pseudo linear multistep, AB up to 4th order) sampling.
+
+    denoise_fn(x, t, fuser_scale, use_sd_conv) -> eps; CFG is the caller's
+    concern (see pipeline.inference.make_cfg_denoiser). Deterministic: PLMS
+    requires eta=0 so no per-step noise; ``rng`` is only used for the
+    inpainting q_sample blend.
+    """
+    steps = int(tables.t.shape[0])
+    b = x_init.shape[0]
+    sched_dev = _schedule_device(schedule) if schedule is not None else None
+
+    def blend(x, t, rng_step):
+        if inpaint is None:
+            return x
+        img_orig = _q_sample(sched_dev, inpaint.z0, jnp.full((b,), t), rng_step)
+        return img_orig * inpaint.mask + (1.0 - inpaint.mask) * x
+
+    def coeffs(i):
+        return (tables.a_t[i], tables.a_prev[i], tables.sigma[i],
+                tables.sqrt_one_minus_at[i])
+
+    zero_noise = jnp.zeros_like(x_init)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    rngs = jax.random.split(rng, steps)
+
+    # ---- step 0: pseudo improved Euler (Heun) warm start (plms.py:144-150)
+    x = blend(x_init, tables.t[0], rngs[0])
+    tvec = jnp.full((b,), tables.t[0])
+    e_t = denoise_fn(x, tvec, tables.fuser_scale[0], tables.use_sd_conv[0])
+    x_mid, _ = _update(x, e_t, *coeffs(0), zero_noise)
+    tvec_next = jnp.full((b,), tables.t_next[0])
+    e_next = denoise_fn(x_mid, tvec_next, tables.fuser_scale[0], tables.use_sd_conv[0])
+    e_prime = (e_t + e_next) / 2
+    x, _ = _update(x, e_prime, *coeffs(0), zero_noise)
+
+    hist = jnp.stack([e_t, e_t, e_t])  # most-recent first; entries 1,2 unused yet
+    count = jnp.asarray(1, dtype=jnp.int32)
+
+    def body(carry, inp):
+        x, hist, count = carry
+        (t, t_nxt, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step) = inp
+        x = blend(x, t, rng_step)
+        tv = jnp.full((b,), t)
+        e_t = denoise_fn(x, tv, fscale, use_sd)
+        e_prime = jax.lax.switch(
+            jnp.minimum(count, 3) - 1,
+            [
+                lambda e, h: (3 * e - h[0]) / 2,
+                lambda e, h: (23 * e - 16 * h[0] + 5 * h[1]) / 12,
+                lambda e, h: (55 * e - 59 * h[0] + 37 * h[1] - 9 * h[2]) / 24,
+            ],
+            e_t,
+            hist,
+        )
+        x_new, _ = _update(x, e_prime, a_t, a_prev, sigma, s1m, zero_noise)
+        hist = jnp.stack([e_t, hist[0], hist[1]])
+        return (x_new, hist, count + 1), None
+
+    xs = (
+        tables.t[1:], tables.t_next[1:], tables.a_t[1:], tables.a_prev[1:],
+        tables.sigma[1:], tables.sqrt_one_minus_at[1:], tables.fuser_scale[1:],
+        tables.use_sd_conv[1:], rngs[1:],
+    )
+    (x, _, _), _ = jax.lax.scan(body, (x, hist, count), xs)
+    return x
+
+
+def ddim_sample(
+    denoise_fn,
+    tables: StepTables,
+    x_init: jnp.ndarray,
+    schedule: Optional[DDPMSchedule] = None,
+    inpaint: Optional[InpaintBlend] = None,
+    rng: Optional[jax.Array] = None,
+):
+    """DDIM sampling (ddim.py:65-135); eta>0 adds sigma-scaled noise."""
+    steps = int(tables.t.shape[0])
+    b = x_init.shape[0]
+    sched_dev = _schedule_device(schedule) if schedule is not None else None
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    rngs = jax.random.split(rng, steps)
+    stochastic = bool(np.any(np.asarray(tables.sigma) > 0))
+
+    def body(x, inp):
+        (t, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step) = inp
+        r_blend, r_noise = jax.random.split(rng_step)
+        if inpaint is not None:
+            img_orig = _q_sample(sched_dev, inpaint.z0, jnp.full((b,), t), r_blend)
+            x = img_orig * inpaint.mask + (1.0 - inpaint.mask) * x
+        tv = jnp.full((b,), t)
+        e_t = denoise_fn(x, tv, fscale, use_sd)
+        noise = (
+            jax.random.normal(r_noise, x.shape, x.dtype)
+            if stochastic
+            else jnp.zeros_like(x)
+        )
+        x_new, _ = _update(x, e_t, a_t, a_prev, sigma, s1m, noise)
+        return x_new, None
+
+    xs = (
+        tables.t, tables.a_t, tables.a_prev, tables.sigma,
+        tables.sqrt_one_minus_at, tables.fuser_scale, tables.use_sd_conv, rngs,
+    )
+    x, _ = jax.lax.scan(body, x_init, xs)
+    return x

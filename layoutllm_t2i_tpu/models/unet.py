@@ -1,0 +1,282 @@
+"""Relation-aware GLIGEN UNet (SD-1.x skeleton) as a pure function.
+
+Reference: GLIGEN/ldm/modules/diffusionmodules/openaimodel.py:234-459. The
+param pytree mirrors the torch state_dict nesting (input_blocks.1.0.in_layers
+...), activations are NHWC, and the grounding/relation conditioning threads
+through every SpatialTransformer. Host-side behaviors of the reference are
+replaced with traced inputs:
+
+  * ``fuser_scale`` — the per-step grounding alpha (reference mutates every
+    gated module via set_alpha_scale, txt2img.py:46);
+  * first-conv restore at alpha==0 (openaimodel.py:393-408) — the sampler
+    selects between GLIGEN and SD first-conv weights with a where() before
+    calling this function;
+  * grounding drop for CFG training — the trainer zeroes the grounding inputs
+    instead of swapping to a null-input object.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn
+from ..ops.schedules import timestep_embedding
+from . import initializers as init
+from .blocks import spatial_transformer, init_spatial_transformer
+from .position_net import position_net, init_position_net
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    image_size: int = 64
+    in_channels: int = 4
+    model_channels: int = 320
+    out_channels: int = 4
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (4, 2, 1)
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+    fuser_type: str = "gatedSA"
+    inpaint_mode: bool = False
+    # extra input channels concatenated by a grounding downsampler
+    additional_in_channels: int = 0
+    grounding_in_dim: int = 768
+    grounding_out_dim: int = 768
+
+    @property
+    def first_conv_in_channels(self) -> int:
+        in_c = self.in_channels + self.additional_in_channels
+        if self.inpaint_mode:
+            in_c += self.in_channels + 1
+        return in_c
+
+    @property
+    def first_conv_restorable(self) -> bool:
+        return not self.inpaint_mode
+
+
+def input_block_specs(cfg: UNetConfig):
+    """Mirror of the torch constructor loop (openaimodel.py:306-332).
+
+    Returns a list over input_blocks index of (kind, ch_in, ch_out, ds) where
+    kind is 'conv' | 'res' | 'res_st' | 'down'.
+    """
+    specs = [("conv", cfg.first_conv_in_channels, cfg.model_channels, 1)]
+    ch = cfg.model_channels
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            out_ch = mult * cfg.model_channels
+            kind = "res_st" if ds in cfg.attention_resolutions else "res"
+            specs.append((kind, ch, out_ch, ds))
+            ch = out_ch
+        if level != len(cfg.channel_mult) - 1:
+            specs.append(("down", ch, ch, ds))
+            ds *= 2
+    return specs
+
+
+def output_block_specs(cfg: UNetConfig):
+    """Mirror of openaimodel.py:357-380. Returns a list of
+    (kind, ch_in, skip_ch, ch_out, upsample, ds)."""
+    # rebuild input_block_chans
+    chans = [cfg.model_channels]
+    ch = cfg.model_channels
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            ch = mult * cfg.model_channels
+            chans.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            chans.append(ch)
+            ds *= 2
+    specs = []
+    for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            ich = chans.pop()
+            out_ch = cfg.model_channels * mult
+            kind = "res_st" if ds in cfg.attention_resolutions else "res"
+            upsample = bool(level and i == cfg.num_res_blocks)
+            specs.append((kind, ch + ich, ich, out_ch, upsample, ds))
+            ch = out_ch
+            if upsample:
+                ds //= 2
+    return specs
+
+
+# ---------------------------------------------------------------------------
+# res block (openaimodel.py:117-231, use_scale_shift_norm=False)
+
+
+def res_block(p, x, emb):
+    h = nn.group_norm(p["in_layers"]["0"], x)
+    h = nn.conv2d(p["in_layers"]["2"], nn.silu(h))
+    emb_out = nn.linear(p["emb_layers"]["1"], nn.silu(emb))
+    h = h + emb_out[:, None, None, :].astype(h.dtype)
+    h = nn.group_norm(p["out_layers"]["0"], h)
+    h = nn.conv2d(p["out_layers"]["3"], nn.silu(h))
+    if "skip_connection" in p:
+        x = nn.conv2d(p["skip_connection"], x, padding=0)
+    return x + h
+
+
+def init_res_block(key, ch_in, ch_out, emb_ch):
+    ks = jax.random.split(key, 4)
+    p = {
+        "in_layers": {"0": init.norm_p(ch_in), "2": init.conv_p(ks[0], 3, 3, ch_in, ch_out)},
+        "emb_layers": {"1": init.linear_p(ks[1], emb_ch, ch_out)},
+        "out_layers": {"0": init.norm_p(ch_out), "3": init.conv_p(ks[2], 3, 3, ch_out, ch_out)},
+    }
+    if ch_in != ch_out:
+        p["skip_connection"] = init.conv_p(ks[3], 1, 1, ch_in, ch_out)
+    return p
+
+
+def downsample(p, x):
+    return nn.conv2d(p["op"], x, stride=2, padding=1)
+
+
+def upsample(p, x):
+    return nn.conv2d(p["conv"], nn.nearest_upsample_2x(x), padding=1)
+
+
+# ---------------------------------------------------------------------------
+# full UNet
+
+
+def init_unet_params(key, cfg: UNetConfig):
+    emb_ch = cfg.model_channels * 4
+    keys = iter(jax.random.split(key, 256))
+    params = {
+        "time_embed": {
+            "0": init.linear_p(next(keys), cfg.model_channels, emb_ch),
+            "2": init.linear_p(next(keys), emb_ch, emb_ch),
+        },
+        "position_net": init_position_net(
+            next(keys), cfg.grounding_in_dim, cfg.grounding_out_dim
+        ),
+    }
+
+    d_head = lambda ch: ch // cfg.num_heads
+    inblocks = {}
+    for idx, (kind, ci, co, _ds) in enumerate(input_block_specs(cfg)):
+        blk = {}
+        if kind == "conv":
+            blk["0"] = init.conv_p(next(keys), 3, 3, ci, co)
+        elif kind == "down":
+            blk["0"] = {"op": init.conv_p(next(keys), 3, 3, ci, co)}
+        else:
+            blk["0"] = init_res_block(next(keys), ci, co, emb_ch)
+            if kind == "res_st":
+                blk["1"] = init_spatial_transformer(
+                    next(keys), co, cfg.context_dim, cfg.context_dim,
+                    cfg.num_heads, d_head(co), cfg.transformer_depth, cfg.fuser_type,
+                )
+        inblocks[str(idx)] = blk
+    params["input_blocks"] = inblocks
+
+    mid_ch = cfg.model_channels * cfg.channel_mult[-1]
+    params["middle_block"] = {
+        "0": init_res_block(next(keys), mid_ch, mid_ch, emb_ch),
+        "1": init_spatial_transformer(
+            next(keys), mid_ch, cfg.context_dim, cfg.context_dim, cfg.num_heads,
+            d_head(mid_ch), cfg.transformer_depth, cfg.fuser_type,
+        ),
+        "2": init_res_block(next(keys), mid_ch, mid_ch, emb_ch),
+    }
+
+    outblocks = {}
+    for idx, (kind, ci, _skip, co, up, _ds) in enumerate(output_block_specs(cfg)):
+        blk = {"0": init_res_block(next(keys), ci, co, emb_ch)}
+        nxt = 1
+        if kind == "res_st":
+            blk[str(nxt)] = init_spatial_transformer(
+                next(keys), co, cfg.context_dim, cfg.context_dim, cfg.num_heads,
+                d_head(co), cfg.transformer_depth, cfg.fuser_type,
+            )
+            nxt += 1
+        if up:
+            blk[str(nxt)] = {"conv": init.conv_p(next(keys), 3, 3, co, co)}
+        outblocks[str(idx)] = blk
+    params["output_blocks"] = outblocks
+
+    params["out"] = {
+        "0": init.norm_p(cfg.model_channels),
+        "2": init.conv_p(next(keys), 3, 3, cfg.model_channels, cfg.out_channels),
+    }
+    return params
+
+
+def unet_apply(
+    params,
+    cfg: UNetConfig,
+    x,                       # (B, H, W, C) noisy latent, NHWC
+    timesteps,               # (B,) int
+    context,                 # (B, 77, context_dim) text tokens
+    boxes,                   # (B, MO, 4) xyxy normalized
+    masks,                   # (B, MO)
+    positive_embeddings,     # (B, MO, grounding_in_dim)
+    relations,               # (B, R, context_dim)
+    fuser_scale=1.0,
+    inpainting_extra: Optional[jnp.ndarray] = None,   # (B, H, W, C+1)
+    grounding_extra: Optional[jnp.ndarray] = None,    # pre-downsampled channels
+    attn_impl: str = "auto",
+):
+    """One eps-prediction forward (openaimodel.py:413-459)."""
+    objs = position_net(params["position_net"], boxes, masks, positive_embeddings)
+    objs = objs.astype(x.dtype)
+
+    t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
+    emb = nn.linear(params["time_embed"]["0"], t_emb)
+    emb = nn.linear(params["time_embed"]["2"], nn.silu(emb))
+
+    h = x
+    if grounding_extra is not None:
+        h = jnp.concatenate([h, grounding_extra.astype(h.dtype)], axis=-1)
+    if cfg.inpaint_mode:
+        assert inpainting_extra is not None
+        h = jnp.concatenate([h, inpainting_extra.astype(h.dtype)], axis=-1)
+
+    def run_st(p_st, h):
+        return spatial_transformer(
+            p_st, h, context, objs, relations, boxes, masks, cfg.num_heads,
+            fuser_scale, cfg.fuser_type, cfg.transformer_depth, impl=attn_impl,
+        )
+
+    hs = []
+    for idx, (kind, _ci, _co, _ds) in enumerate(input_block_specs(cfg)):
+        blk = params["input_blocks"][str(idx)]
+        if kind == "conv":
+            h = nn.conv2d(blk["0"], h, padding=1)
+        elif kind == "down":
+            h = downsample(blk["0"], h)
+        else:
+            h = res_block(blk["0"], h, emb)
+            if kind == "res_st":
+                h = run_st(blk["1"], h)
+        hs.append(h)
+
+    mid = params["middle_block"]
+    h = res_block(mid["0"], h, emb)
+    h = run_st(mid["1"], h)
+    h = res_block(mid["2"], h, emb)
+
+    for idx, (kind, _ci, _skip, _co, up, _ds) in enumerate(output_block_specs(cfg)):
+        blk = params["output_blocks"][str(idx)]
+        h = jnp.concatenate([h, hs.pop()], axis=-1)
+        h = res_block(blk["0"], h, emb)
+        nxt = 1
+        if kind == "res_st":
+            h = run_st(blk[str(nxt)], h)
+            nxt += 1
+        if up:
+            h = upsample(blk[str(nxt)], h)
+
+    h = nn.group_norm(params["out"]["0"], h)
+    h = nn.conv2d(params["out"]["2"], nn.silu(h))
+    return h

@@ -1,0 +1,249 @@
+"""Layout-grounded generation pipeline (the GLIGEN/interface.py equivalent).
+
+Everything device-side is one jitted program per (batch, steps, sampler)
+signature: CLIP text encode -> PLMS/DDIM scan over the UNet -> VAE decode.
+Host code only builds fixed-shape (max_objs=30, max_relas) tensors from the
+ragged layout, mirroring interface.py:157-290.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.samplers import StepTables, ddim_sample, make_step_tables, plms_sample
+from ..models.clip_text import CLIPTextConfig, clip_text_apply
+from ..models.unet import UNetConfig, unet_apply
+from ..models.vae import VAEConfig, decode as vae_decode
+from ..ops.schedules import DDPMSchedule
+from ..utils.trees import override_subtree
+
+
+@dataclasses.dataclass
+class GligenModels:
+    """Bundle of the four converted modules (cf. interface.py load_all_models)."""
+
+    unet_cfg: UNetConfig
+    unet_params: Any
+    vae_cfg: VAEConfig
+    vae_params: Any
+    clip_cfg: CLIPTextConfig
+    clip_params: Any
+    schedule: DDPMSchedule
+    tokenizer: Any
+    # SD first-conv weights for the alpha==0 restore (openaimodel.py:393-408);
+    # dict with 'weight'/'bias' in JAX layout, or None to disable the swap.
+    sd_first_conv: Optional[dict] = None
+    max_objs: int = 30
+    max_relas: int = 5
+    compute_dtype: Any = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# host-side fixed-shape batch prep
+
+
+def pack_layout(
+    boxes: Sequence[Sequence[float]],
+    phrase_embeddings: np.ndarray,
+    max_objs: int = 30,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ragged layout -> (boxes (MO,4), masks (MO,), embeddings (MO,768)).
+
+    boxes are normalized xyxy (callers convert from xywh/xcycwh first);
+    mirrors interface.py prepare_batch:157-219.
+    """
+    n = min(len(boxes), max_objs)
+    out_boxes = np.zeros((max_objs, 4), dtype=np.float32)
+    out_masks = np.zeros((max_objs,), dtype=np.float32)
+    dim = phrase_embeddings.shape[-1] if len(phrase_embeddings) else 768
+    out_emb = np.zeros((max_objs, dim), dtype=np.float32)
+    if n:
+        out_boxes[:n] = np.asarray(boxes, dtype=np.float32)[:n]
+        out_masks[:n] = 1.0
+        out_emb[:n] = phrase_embeddings[:n]
+    return out_boxes, out_masks, out_emb
+
+
+def convert_xywh_to_ltrb(box):
+    x, y, w, h = box
+    return [x, y, x + w, y + h]
+
+
+def convert_xcycwh_to_ltrb(box):
+    xc, yc, w, h = box
+    return [xc - w / 2, yc - h / 2, xc + w / 2, yc + h / 2]
+
+
+# ---------------------------------------------------------------------------
+# device-side programs
+
+
+def make_cfg_denoiser(
+    models: GligenModels,
+    guidance_scale: float,
+    attn_impl: str = "auto",
+):
+    """Returns denoise(params, sd_conv, cond, x, t, fuser_scale, use_sd) with
+    classifier-free guidance run as one doubled batch (the reference issues
+    two sequential UNet calls, plms.py:115-124)."""
+    cfg = models.unet_cfg
+    dtype = models.compute_dtype
+    use_cfg = guidance_scale != 1.0
+
+    def denoise(params, sd_conv, cond, x, t, fuser_scale, use_sd):
+        if sd_conv is not None and cfg.first_conv_restorable:
+            first = params["input_blocks"]["0"]["0"]
+            blended = {
+                "weight": jnp.where(use_sd, sd_conv["weight"].astype(first["weight"].dtype),
+                                    first["weight"]),
+                "bias": jnp.where(use_sd, sd_conv["bias"].astype(first["bias"].dtype),
+                                  first["bias"]),
+            }
+            params = override_subtree(params, ("input_blocks", "0", "0"), blended)
+
+        xm = x.astype(dtype)
+        if use_cfg:
+            x2 = jnp.concatenate([xm, xm])
+            t2 = jnp.concatenate([t, t])
+            ctx = jnp.concatenate([cond["context"], cond["uc_context"]]).astype(dtype)
+            boxes = jnp.concatenate([cond["boxes"], jnp.zeros_like(cond["boxes"])])
+            masks = jnp.concatenate([cond["masks"], jnp.zeros_like(cond["masks"])])
+            pos = jnp.concatenate(
+                [cond["phrase_embeddings"], jnp.zeros_like(cond["phrase_embeddings"])]
+            ).astype(dtype)
+            rel = jnp.concatenate([cond["relations"], cond["relations"]]).astype(dtype)
+            eps = unet_apply(params, cfg, x2, t2, ctx, boxes, masks, pos, rel,
+                             fuser_scale=fuser_scale, attn_impl=attn_impl)
+            e_cond, e_uncond = jnp.split(eps.astype(jnp.float32), 2)
+            return e_uncond + guidance_scale * (e_cond - e_uncond)
+        eps = unet_apply(params, cfg, xm, t, cond["context"].astype(dtype), cond["boxes"],
+                         cond["masks"], cond["phrase_embeddings"].astype(dtype),
+                         cond["relations"].astype(dtype), fuser_scale=fuser_scale,
+                         attn_impl=attn_impl)
+        return eps.astype(jnp.float32)
+
+    return denoise
+
+
+class InferencePipeline:
+    """Compiled text+layout -> image sampler.
+
+    One instance caches jitted programs keyed by (batch, steps, sampler,
+    guidance) so repeated prompts hit the compile cache.
+    """
+
+    def __init__(self, models: GligenModels, steps: int = 50, sampler: str = "plms",
+                 guidance_scale: float = 7.5, alpha_type=(0.3, 0.0, 0.7),
+                 eta: float = 0.0, attn_impl: str = "auto"):
+        self.models = models
+        self.steps = steps
+        self.sampler = sampler
+        self.guidance_scale = guidance_scale
+        self.alpha_type = tuple(alpha_type) if alpha_type is not None else None
+        self.eta = eta
+        self.attn_impl = attn_impl
+        self.tables: StepTables = make_step_tables(
+            models.schedule, steps, eta=eta, alpha_type=self.alpha_type
+        )
+        self._encode_jit = jax.jit(self._encode_fn)
+        self._sample_jit = jax.jit(self._sample_fn)
+
+    # -- text encode ------------------------------------------------------
+
+    def _encode_fn(self, clip_params, input_ids):
+        return clip_text_apply(clip_params, self.models.clip_cfg, input_ids)
+
+    def encode_text(self, texts: List[str]) -> np.ndarray:
+        ids = self.models.tokenizer(texts)
+        hidden, _ = self._encode_jit(self.models.clip_params, jnp.asarray(ids))
+        return hidden
+
+    def encode_pooled(self, texts: List[str]) -> np.ndarray:
+        """Pooled (eot) embedding per text — used for per-phrase grounding
+        tokens (encode_one_token, modules.py:176-184) and relation triplets."""
+        ids = self.models.tokenizer(texts)
+        _, pooled = self._encode_jit(self.models.clip_params, jnp.asarray(ids))
+        return pooled
+
+    # -- sampling ---------------------------------------------------------
+
+    def _sample_fn(self, unet_params, vae_params, sd_conv, cond, noise, rng):
+        denoise_core = make_cfg_denoiser(self.models, self.guidance_scale, self.attn_impl)
+
+        def denoise(x, t, fscale, use_sd):
+            return denoise_core(unet_params, sd_conv, cond, x, t, fscale, use_sd)
+
+        sample = plms_sample if self.sampler == "plms" else ddim_sample
+        z = sample(denoise, self.tables, noise, schedule=self.models.schedule, rng=rng)
+        img = vae_decode(vae_params, self.models.vae_cfg,
+                         z.astype(self.models.compute_dtype))
+        img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0) * 0.5 + 0.5
+        return img
+
+    def build_cond(self, prompts: List[str], layouts, relation_texts=None,
+                   phrase_embeddings=None, relation_embeddings=None):
+        """layouts: list of (boxes_ltrb, phrases) per prompt. Pre-computed
+        phrase/relation embeddings skip the CLIP calls (cached-layout mode)."""
+        m = self.models
+        b = len(prompts)
+        context = self.encode_text(prompts)
+        uc = self.encode_text([""] * b)
+
+        boxes = np.zeros((b, m.max_objs, 4), dtype=np.float32)
+        masks = np.zeros((b, m.max_objs), dtype=np.float32)
+        pos = np.zeros((b, m.max_objs, 768), dtype=np.float32)
+        for i, (bxs, phrases) in enumerate(layouts):
+            if phrase_embeddings is not None:
+                emb = phrase_embeddings[i]
+            elif len(phrases):
+                emb = np.asarray(self.encode_pooled(list(phrases)))
+            else:
+                emb = np.zeros((0, 768), np.float32)
+            boxes[i], masks[i], pos[i] = pack_layout(bxs, emb, m.max_objs)
+
+        rel = np.zeros((b, m.max_relas, 768), dtype=np.float32)
+        if relation_embeddings is not None:
+            rel = np.asarray(relation_embeddings, dtype=np.float32)
+        elif relation_texts is not None:
+            for i, texts in enumerate(relation_texts):
+                if texts:
+                    texts = texts[: m.max_relas]
+                    rel[i, : len(texts)] = np.asarray(self.encode_pooled(texts))
+
+        return {
+            "context": context,
+            "uc_context": uc,
+            "boxes": jnp.asarray(boxes),
+            "masks": jnp.asarray(masks),
+            "phrase_embeddings": jnp.asarray(pos),
+            "relations": jnp.asarray(rel),
+        }
+
+    def sample_latents(self, cond, noise, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        m = self.models
+        return self._sample_jit(m.unet_params, m.vae_params, m.sd_first_conv,
+                                cond, noise, rng)
+
+    def generate(self, prompts: List[str], layouts, relation_texts=None, seed: int = 42,
+                 **cond_kwargs) -> np.ndarray:
+        """Returns (B, 512, 512, 3) float images in [0, 1]."""
+        b = len(prompts)
+        m = self.models
+        cond = self.build_cond(prompts, layouts, relation_texts, **cond_kwargs)
+        key = jax.random.PRNGKey(seed)
+        knoise, krun = jax.random.split(key)
+        noise = jax.random.normal(
+            knoise, (b, m.unet_cfg.image_size, m.unet_cfg.image_size,
+                     m.unet_cfg.in_channels), jnp.float32)
+        img = self.sample_latents(cond, noise, krun)
+        return np.asarray(img)
+
+
+def images_to_uint8(images: np.ndarray) -> np.ndarray:
+    return (np.clip(images, 0, 1) * 255).astype(np.uint8)
