@@ -1,0 +1,102 @@
+"""Headline benchmark: 512px layout-grounded generation throughput per chip.
+
+Runs the flagship pipeline (SD-1.4-scale relation-aware UNet, PLMS-50,
+CFG 7.5, alpha [0.3, 0, 0.7], 30 grounding slots, 5 relation tokens, VAE
+decode) with random weights and measures steady-state images/sec on one chip.
+
+Prints ONE JSON line:
+  {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": N / 8.0}
+(the 8 img/s/chip target comes from BASELINE.md).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--small", action="store_true", help="tiny model for CPU smoke")
+    ap.add_argument("--guidance", type=float, default=7.5)
+    args = ap.parse_args()
+
+    from layoutllm_t2i_tpu.models.unet import UNetConfig, init_unet_params
+    from layoutllm_t2i_tpu.models.vae import VAEConfig, init_vae_params
+    from layoutllm_t2i_tpu.models.clip_text import CLIPTextConfig, init_clip_text_params
+    from layoutllm_t2i_tpu.models.clip_tokenizer import HashTokenizer
+    from layoutllm_t2i_tpu.ops.schedules import make_ddpm_schedule
+    from layoutllm_t2i_tpu.pipeline.inference import GligenModels, InferencePipeline
+    from layoutllm_t2i_tpu.utils.trees import cast_floating
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    if args.small:
+        unet_cfg = UNetConfig(image_size=8, model_channels=32, num_res_blocks=1,
+                              attention_resolutions=(2, 1), channel_mult=(1, 2),
+                              num_heads=2)
+        vae_cfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+        clip_cfg = CLIPTextConfig(num_layers=2, vocab_size=1024)
+    else:
+        unet_cfg = UNetConfig()             # SD-1.4 relation-aware
+        vae_cfg = VAEConfig()               # f8/z4
+        clip_cfg = CLIPTextConfig()         # ViT-L/14 text
+
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+    models = GligenModels(
+        unet_cfg=unet_cfg,
+        unet_params=cast_floating(init_unet_params(k1, unet_cfg), dtype),
+        vae_cfg=vae_cfg,
+        vae_params=cast_floating(init_vae_params(k2, vae_cfg), dtype),
+        clip_cfg=clip_cfg,
+        clip_params=cast_floating(init_clip_text_params(k3, clip_cfg), dtype),
+        schedule=make_ddpm_schedule("linear", 1000, 0.00085, 0.012),
+        tokenizer=HashTokenizer(vocab_size=clip_cfg.vocab_size),
+        compute_dtype=dtype,
+    )
+    pipe = InferencePipeline(models, steps=args.steps, sampler="plms",
+                             guidance_scale=args.guidance, alpha_type=(0.3, 0.0, 0.7))
+
+    b = args.batch
+    prompts = ["a dog chasing a frisbee in a park"] * b
+    layouts = [([[0.1, 0.3, 0.5, 0.9], [0.55, 0.2, 0.9, 0.5]], ["dog", "frisbee"])] * b
+    relations = [["dog chase frisbee"]] * b
+
+    cond = pipe.build_cond(prompts, layouts, relations)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(42),
+        (b, unet_cfg.image_size, unet_cfg.image_size, unet_cfg.in_channels),
+        jnp.float32,
+    )
+
+    # warmup / compile
+    img = pipe.sample_latents(cond, noise)
+    jax.block_until_ready(img)
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        img = pipe.sample_latents(cond, noise)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = b * args.iters / dt
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 4),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / 8.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,14 @@ def clip_text_apply(params, cfg: CLIPTextConfig, input_ids):
     return x, pooled
 
 
+def clip_text_features(params, cfg: CLIPTextConfig, input_ids):
+    """CLIPModel.get_text_features: text_projection over the pooled output.
+    Expects params['text_projection'] alongside the text_model tree (converted
+    from the HF CLIPModel key 'text_projection.weight')."""
+    _, pooled = clip_text_apply(params, cfg, input_ids)
+    return nn.linear(params["text_projection"], pooled)
+
+
 def init_clip_text_params(key, cfg: CLIPTextConfig):
     keys = iter(jax.random.split(key, 8 + cfg.num_layers * 8))
     c, inter = cfg.hidden_size, cfg.intermediate_size

@@ -1,0 +1,134 @@
+"""Diffusion training step (eps-MSE) with frozen/trainable masking.
+
+Reference: GLIGEN/trainer_combined_layout.py:397-420 (run_one_step) and the
+trainable-parameter selection at :248-260 (relation-aware mode trains only
+``transformer_blocks*rela_fuse``; vanilla GLIGEN trains ``fuser`` +
+``position_net``, trainer.py:220-242).
+
+TPU-native shape: the whole step (timestep draw, q_sample, UNet forward,
+grad, masked optimizer update) is one jitted program; with a sharded batch
+and replicated params XLA inserts the gradient all-reduce over the ``data``
+mesh axis — the DDP wrapper and NCCL helpers of the reference have no
+equivalent code here.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.ddpm import q_sample
+from ..models.unet import UNetConfig, unet_apply
+from ..ops.schedules import DDPMSchedule
+
+
+def rela_fuse_only(path) -> bool:
+    names = [str(getattr(k, "key", k)) for k in path]
+    return "transformer_blocks" in names and "rela_fuse" in names
+
+
+def fuser_and_position_net(path) -> bool:
+    names = [str(getattr(k, "key", k)) for k in path]
+    return "fuser" in names or "position_net" in names
+
+
+TRAINABLE_MODES = {
+    "rela_fuse": rela_fuse_only,            # LayoutLLM-T2I relation training
+    "gligen": fuser_and_position_net,       # vanilla GLIGEN grounding training
+    "all": lambda path: True,
+}
+
+
+def trainable_mask(params, predicate: Callable) -> Any:
+    return jax.tree_util.tree_map_with_path(lambda path, _: bool(predicate(path)), params)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class TrainStepConfig:
+    unet_cfg: UNetConfig
+    schedule: DDPMSchedule
+    trainable_mode: str = "rela_fuse"
+    learning_rate: float = 5e-5
+    weight_decay: float = 0.0
+    warmup_steps: int = 10000
+    total_steps: int = 500_000
+    lr_schedule: str = "constant"  # constant | cosine, both with warmup
+    grounding_drop_prob: float = 0.1  # CFG drop (openaimodel.py:421-422)
+
+
+def make_optimizer(cfg: TrainStepConfig, params):
+    if cfg.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps, cfg.total_steps
+        )
+    else:
+        sched = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+                optax.constant_schedule(cfg.learning_rate),
+            ],
+            [cfg.warmup_steps],
+        )
+    tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    predicate = TRAINABLE_MODES[cfg.trainable_mode]
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: "train" if predicate(path) else "freeze", params
+    )
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+
+
+def init_train_state(cfg: TrainStepConfig, params) -> TrainState:
+    tx = make_optimizer(cfg, params)
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_loss_fn(cfg: TrainStepConfig):
+    schedule = cfg.schedule
+
+    def loss_fn(params, batch, rng):
+        """batch: z (B,h,w,4) clean latents, context (B,77,768),
+        boxes/masks/phrase_embeddings, relations."""
+        b = batch["z"].shape[0]
+        r_t, r_noise, r_drop = jax.random.split(rng, 3)
+        # t ~ floor(U^1 * 1000), 1000 -> 999 (trainer_combined_layout.py:379-381)
+        t = (jax.random.uniform(r_t, (b,)) * schedule.num_timesteps).astype(jnp.int32)
+        t = jnp.where(t == schedule.num_timesteps, schedule.num_timesteps - 1, t)
+        noise = jax.random.normal(r_noise, batch["z"].shape, batch["z"].dtype)
+        x_noisy = q_sample(schedule, batch["z"], t, noise)
+
+        # 10% grounding drop for guidance training: zero the grounding inputs
+        # (the null input is all-zeros, text_layout_tokinzer_input.py:47-62)
+        keep = (jax.random.uniform(r_drop, ()) >= cfg.grounding_drop_prob).astype(
+            batch["masks"].dtype
+        )
+        boxes = batch["boxes"] * keep
+        masks = batch["masks"] * keep
+        pos = batch["phrase_embeddings"] * keep
+
+        eps = unet_apply(params, cfg.unet_cfg, x_noisy, t, batch["context"],
+                         boxes, masks, pos, batch["relations"])
+        return jnp.mean((eps - noise) ** 2)
+
+    return loss_fn
+
+
+def make_train_step(cfg: TrainStepConfig, params_template):
+    tx = make_optimizer(cfg, params_template)
+    loss_fn = make_loss_fn(cfg)
+
+    def train_step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step

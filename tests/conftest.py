@@ -5,7 +5,10 @@ Mirrors SURVEY.md §4(d): distributed paths are validated with
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# neutralize the axon TPU tunnel (its sitecustomize force-registers the
+# remote backend regardless of JAX_PLATFORMS)
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare against torch float32; force full-precision matmuls
 # (production keeps the backend default: bf16 MXU passes on TPU).
