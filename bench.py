@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--guidance", type=float, default=7.5)
     args = ap.parse_args()
 
+    from layoutllm_t2i_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from layoutllm_t2i_tpu.models.unet import UNetConfig, init_unet_params
     from layoutllm_t2i_tpu.models.vae import VAEConfig, init_vae_params
     from layoutllm_t2i_tpu.models.clip_text import CLIPTextConfig, init_clip_text_params

@@ -1,0 +1,73 @@
+"""Relation-aware diffusion training CLI (GLIGEN/main.py equivalent).
+
+Run: python -m layoutllm_t2i_tpu.cli.train_diffusion --name exp \
+       [--ckpt_path gligen.pth] [--coco_root /data/coco] [--synthetic]
+
+Multi-chip: works unchanged over all local devices via the data mesh; for
+multi-host add jax.distributed.initialize() via --multihost.
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..training.diffusion_trainer import DiffusionTrainer, TrainerConfig
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", type=str, default="relation_training")
+    p.add_argument("--output_root", type=str, default="OUTPUT")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--total_iters", type=int, default=500_000)
+    p.add_argument("--save_every_iters", type=int, default=5000)
+    p.add_argument("--base_learning_rate", type=float, default=5e-5)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--warmup_steps", type=int, default=10_000)
+    p.add_argument("--scheduler_type", type=str, default="constant",
+                   choices=["constant", "cosine"])
+    p.add_argument("--trainable_mode", type=str, default="rela_fuse",
+                   choices=["rela_fuse", "gligen", "all"])
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--coco_root", type=str, default=None)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--max_boxes", type=int, default=30)
+    p.add_argument("--max_relations", type=int, default=10)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--synthetic", action="store_true",
+                   help="random data (smoke/benchmark runs)")
+    p.add_argument("--multihost", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+    cfg = TrainerConfig(
+        output_root=args.output_root, name=args.name, batch_size=args.batch_size,
+        total_iters=args.total_iters, save_every_iters=args.save_every_iters,
+        base_learning_rate=args.base_learning_rate, weight_decay=args.weight_decay,
+        warmup_steps=args.warmup_steps, scheduler_type=args.scheduler_type,
+        trainable_mode=args.trainable_mode, max_boxes=args.max_boxes,
+        max_relations=args.max_relations, seed=args.seed, ckpt_path=args.ckpt_path,
+    )
+
+    if args.synthetic or not args.coco_root:
+        from ..data.synthetic import synthetic_layout_batches
+
+        dataset = synthetic_layout_batches(cfg.batch_size, args.image_size,
+                                           cfg.max_boxes)
+    else:
+        from ..data.coco import coco_layout_batches
+
+        dataset = coco_layout_batches(args.coco_root, cfg.batch_size,
+                                      args.image_size, cfg.max_boxes)
+
+    DiffusionTrainer(cfg, dataset).train()
+
+
+if __name__ == "__main__":
+    main()

@@ -133,53 +133,52 @@ def plms_sample(
         img_orig = _q_sample(sched_dev, inpaint.z0, jnp.full((b,), t), rng_step)
         return img_orig * inpaint.mask + (1.0 - inpaint.mask) * x
 
-    def coeffs(i):
-        return (tables.a_t[i], tables.a_prev[i], tables.sigma[i],
-                tables.sqrt_one_minus_at[i])
-
     zero_noise = jnp.zeros_like(x_init)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     rngs = jax.random.split(rng, steps)
 
-    # ---- step 0: pseudo improved Euler (Heun) warm start (plms.py:144-150)
-    x = blend(x_init, tables.t[0], rngs[0])
-    tvec = jnp.full((b,), tables.t[0])
-    e_t = denoise_fn(x, tvec, tables.fuser_scale[0], tables.use_sd_conv[0])
-    x_mid, _ = _update(x, e_t, *coeffs(0), zero_noise)
-    tvec_next = jnp.full((b,), tables.t_next[0])
-    e_next = denoise_fn(x_mid, tvec_next, tables.fuser_scale[0], tables.use_sd_conv[0])
-    e_prime = (e_t + e_next) / 2
-    x, _ = _update(x, e_prime, *coeffs(0), zero_noise)
-
-    hist = jnp.stack([e_t, e_t, e_t])  # most-recent first; entries 1,2 unused yet
-    count = jnp.asarray(1, dtype=jnp.int32)
-
+    # Single scan with the step-0 Heun warm start folded in via lax.cond so
+    # the UNet body is instantiated only twice in the compiled program (the
+    # main eval + the warm-start extra eval) instead of once per unrolled
+    # call — compile time for the 50-step program stays flat.
     def body(carry, inp):
         x, hist, count = carry
         (t, t_nxt, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step) = inp
         x = blend(x, t, rng_step)
         tv = jnp.full((b,), t)
         e_t = denoise_fn(x, tv, fscale, use_sd)
-        e_prime = jax.lax.switch(
-            jnp.minimum(count, 3) - 1,
-            [
-                lambda e, h: (3 * e - h[0]) / 2,
-                lambda e, h: (23 * e - 16 * h[0] + 5 * h[1]) / 12,
-                lambda e, h: (55 * e - 59 * h[0] + 37 * h[1] - 9 * h[2]) / 24,
-            ],
-            e_t,
-            hist,
-        )
+
+        def heun(_):
+            # pseudo improved Euler (plms.py:144-150)
+            x_mid, _ = _update(x, e_t, a_t, a_prev, sigma, s1m, zero_noise)
+            e_next = denoise_fn(x_mid, jnp.full((b,), t_nxt), fscale, use_sd)
+            return (e_t + e_next) / 2
+
+        def adams_bashforth(_):
+            return jax.lax.switch(
+                jnp.clip(count, 1, 3) - 1,
+                [
+                    lambda e, h: (3 * e - h[0]) / 2,
+                    lambda e, h: (23 * e - 16 * h[0] + 5 * h[1]) / 12,
+                    lambda e, h: (55 * e - 59 * h[0] + 37 * h[1] - 9 * h[2]) / 24,
+                ],
+                e_t,
+                hist,
+            )
+
+        e_prime = jax.lax.cond(count == 0, heun, adams_bashforth, None)
         x_new, _ = _update(x, e_prime, a_t, a_prev, sigma, s1m, zero_noise)
         hist = jnp.stack([e_t, hist[0], hist[1]])
         return (x_new, hist, count + 1), None
 
+    hist0 = jnp.stack([zero_noise, zero_noise, zero_noise])
+    count0 = jnp.asarray(0, dtype=jnp.int32)
     xs = (
-        tables.t[1:], tables.t_next[1:], tables.a_t[1:], tables.a_prev[1:],
-        tables.sigma[1:], tables.sqrt_one_minus_at[1:], tables.fuser_scale[1:],
-        tables.use_sd_conv[1:], rngs[1:],
+        tables.t, tables.t_next, tables.a_t, tables.a_prev,
+        tables.sigma, tables.sqrt_one_minus_at, tables.fuser_scale,
+        tables.use_sd_conv, rngs,
     )
-    (x, _, _), _ = jax.lax.scan(body, (x, hist, count), xs)
+    (x, _, _), _ = jax.lax.scan(body, (x_init, hist0, count0), xs)
     return x
 
 

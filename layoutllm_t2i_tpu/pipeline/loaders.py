@@ -1,0 +1,97 @@
+"""Model-bundle loaders: converted GLIGEN .pth or random-init for smoke runs.
+
+interface.py:366-374 equivalent; the checkpoint-embedded config is the source
+of truth for model construction.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.clip_text import CLIPTextConfig, init_clip_text_params
+from ..models.clip_tokenizer import default_tokenizer
+from ..models.unet import UNetConfig, init_unet_params
+from ..models.vae import VAEConfig, init_vae_params
+from ..ops.schedules import make_ddpm_schedule
+from ..utils.trees import cast_floating
+from .inference import GligenModels
+
+
+def _unet_cfg_from_config_dict(config: Optional[dict]) -> UNetConfig:
+    try:
+        p = config["model"]["params"]
+        return UNetConfig(
+            image_size=p.get("image_size", 64),
+            in_channels=p.get("in_channels", 4),
+            model_channels=p.get("model_channels", 320),
+            out_channels=p.get("out_channels", 4),
+            num_res_blocks=p.get("num_res_blocks", 2),
+            attention_resolutions=tuple(p.get("attention_resolutions", (4, 2, 1))),
+            channel_mult=tuple(p.get("channel_mult", (1, 2, 4, 4))),
+            num_heads=p.get("num_heads", 8),
+            transformer_depth=p.get("transformer_depth", 1),
+            context_dim=p.get("context_dim", 768),
+            fuser_type=p.get("fuser_type", "gatedSA"),
+            inpaint_mode=p.get("inpaint_mode", False),
+        )
+    except (KeyError, TypeError):
+        return UNetConfig()
+
+
+def _schedule_from_config_dict(config: Optional[dict]):
+    try:
+        p = config["diffusion"]["params"]
+        return make_ddpm_schedule(
+            "linear", p.get("timesteps", 1000),
+            p.get("linear_start", 0.00085), p.get("linear_end", 0.012),
+        )
+    except (KeyError, TypeError):
+        return make_ddpm_schedule("linear", 1000, 0.00085, 0.012)
+
+
+def load_models_from_gligen_ckpt(ckpt_path: str, sd_first_conv_path: Optional[str] = None,
+                                 dtype=None, tokenizer=None) -> GligenModels:
+    from ..checkpoint.convert import load_gligen_checkpoint, load_sd_first_conv
+
+    params, config, _ = load_gligen_checkpoint(ckpt_path)
+    dtype = dtype or (jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
+    sd_conv = load_sd_first_conv(sd_first_conv_path) if sd_first_conv_path else None
+    return GligenModels(
+        unet_cfg=_unet_cfg_from_config_dict(config),
+        unet_params=cast_floating(params["unet"], dtype),
+        vae_cfg=VAEConfig(),
+        vae_params=cast_floating(params["vae"], dtype),
+        clip_cfg=CLIPTextConfig(),
+        clip_params=cast_floating(params["clip_text"], dtype),
+        schedule=_schedule_from_config_dict(config),
+        tokenizer=tokenizer or default_tokenizer(),
+        sd_first_conv=sd_conv,
+        compute_dtype=dtype,
+    )
+
+
+def random_models(seed: int = 0, dtype=None, small: bool = False) -> GligenModels:
+    """Random-weight bundle for offline smoke/bench runs."""
+    dtype = dtype or (jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
+    if small:
+        unet_cfg = UNetConfig(image_size=8, model_channels=32, num_res_blocks=1,
+                              attention_resolutions=(2, 1), channel_mult=(1, 2),
+                              num_heads=2)
+        vae_cfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+        clip_cfg = CLIPTextConfig(num_layers=2)
+    else:
+        unet_cfg, vae_cfg, clip_cfg = UNetConfig(), VAEConfig(), CLIPTextConfig()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return GligenModels(
+        unet_cfg=unet_cfg,
+        unet_params=cast_floating(init_unet_params(k1, unet_cfg), dtype),
+        vae_cfg=vae_cfg,
+        vae_params=cast_floating(init_vae_params(k2, vae_cfg), dtype),
+        clip_cfg=clip_cfg,
+        clip_params=cast_floating(init_clip_text_params(k3, clip_cfg), dtype),
+        schedule=make_ddpm_schedule("linear", 1000, 0.00085, 0.012),
+        tokenizer=default_tokenizer(),
+        compute_dtype=dtype,
+    )

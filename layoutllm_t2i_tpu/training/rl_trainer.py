@@ -1,0 +1,217 @@
+"""REINFORCE training of the layout policy (train_rl.py rebuild).
+
+Per batch (train_rl.py:23-98, 116-257):
+  1. score candidates: softmax(policy(train) @ policy(cand)^T / T) — jitted;
+  2. sample shot ids per example from the score rows (host RNG);
+  3. build prompts, query the LLM (or the offline cached-layout LLM), regex-
+     parse layouts; examples with empty predictions are dropped;
+  4. generate images with the frozen diffusion pipeline (one batched jitted
+     PLMS-50 run — the dominant cost);
+  5. composite reward; loss = sum(-log pi(shots) * reward); Adam step on the
+     policy linear only (grad computed through the jitted score+logp graph).
+
+Resume/save mirror the reference: per-epoch ckpt_E/state_E, best-reward and
+best-loss snapshots, history.json, NaN abort.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Any, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.policy import init_policy_params, policy_scores
+from ..pipeline.planner import build_prompt, center2lefttop, extract_prediction
+from ..utils.logging import Logger, MetricsWriter
+
+
+@dataclasses.dataclass
+class RLConfig:
+    epochs: int = 80
+    batch_size: int = 8
+    shot_number: int = 2
+    lr: float = 1e-3
+    lr_step_size: int = 20
+    lr_gamma: float = 0.5
+    policy_temperature: float = 1.0
+    embedding_size: int = 128
+    in_dim: int = 768
+    seed: int = 53
+    ckpt_path: str = "./checkpoints/rl"
+    resume: str = ""
+
+
+class RLTrainer:
+    def __init__(self, config: RLConfig, reward_model, generate_fn,
+                 llm, train_examples: List[dict], cand_examples: List[dict],
+                 feats_caps_train: np.ndarray, feats_caps_cand: np.ndarray,
+                 batches, policy_params=None, logger: Optional[Logger] = None):
+        """generate_fn(captions, layouts_ltrb_with_labels) -> (B,H,W,3) [0,1]
+        images; llm(prompt) -> text; batches: iterable of
+        (examples_chunk, gt_images, indices)."""
+        self.c = config
+        self.reward_model = reward_model
+        self.generate_fn = generate_fn
+        self.llm = llm
+        self.train_examples = train_examples
+        self.cand_examples = cand_examples
+        self.feats_train = jnp.asarray(feats_caps_train)
+        self.feats_cand = jnp.asarray(feats_caps_cand)
+        self.batches = batches
+        self.logger = logger or Logger(os.path.join(config.ckpt_path, "log.txt"))
+        self.metrics = MetricsWriter(os.path.join(config.ckpt_path, "metrics.jsonl"))
+        self.rng = np.random.default_rng(config.seed)
+
+        self.params = policy_params or init_policy_params(
+            jax.random.PRNGKey(config.seed), config.in_dim, config.embedding_size
+        )
+        # StepLR(step_size, gamma) stepped per epoch (train_rl.py:120,250)
+        self._epoch = 0
+        self.opt = optax.inject_hyperparams(optax.adam)(learning_rate=config.lr)
+        self.opt_state = self.opt.init(self.params)
+
+        self._scores_jit = jax.jit(self._scores_fn)
+        self._loss_grad = jax.jit(jax.value_and_grad(self._loss_fn))
+
+        self.start_epoch = 0
+        if config.resume:
+            self.start_epoch = self._resume(config.resume) + 1
+
+    # -- jitted pieces ------------------------------------------------------
+
+    def _scores_fn(self, params, emb_batch):
+        s = policy_scores(params, emb_batch, self.feats_cand)
+        return jax.nn.softmax(s / self.c.policy_temperature, axis=1)
+
+    def _loss_fn(self, params, emb_batch, chosen, rewards, valid):
+        scores = self._scores_fn(params, emb_batch)
+        logp = jnp.sum(jnp.log(jnp.take_along_axis(scores, chosen, axis=1)), axis=1)
+        return jnp.sum(-logp * rewards * valid)
+
+    def _current_lr(self) -> float:
+        return self.c.lr * (self.c.lr_gamma ** (self._epoch // self.c.lr_step_size))
+
+    # -- ckpt ---------------------------------------------------------------
+
+    def _save(self, epoch: int, tag: Optional[str] = None):
+        os.makedirs(self.c.ckpt_path, exist_ok=True)
+        import pickle
+
+        name = tag or f"ckpt_{epoch}"
+        with open(os.path.join(self.c.ckpt_path, f"{name}.pkl"), "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, self.params), f)
+        if tag is None:
+            with open(os.path.join(self.c.ckpt_path, f"state_{epoch}.pkl"), "wb") as f:
+                pickle.dump(jax.tree.map(np.asarray, self.opt_state), f)
+
+    def _resume(self, ckpt_dir: str) -> int:
+        import pickle
+
+        epochs = []
+        for fn in os.listdir(ckpt_dir):
+            if fn.startswith("state_") and fn.endswith(".pkl"):
+                epochs.append(int(fn[len("state_"):-len(".pkl")]))
+        max_epoch = max(epochs)
+        with open(os.path.join(ckpt_dir, f"ckpt_{max_epoch}.pkl"), "rb") as f:
+            self.params = pickle.load(f)
+        with open(os.path.join(ckpt_dir, f"state_{max_epoch}.pkl"), "rb") as f:
+            self.opt_state = pickle.load(f)
+        self.logger.write(f"resumed from {ckpt_dir} at epoch {max_epoch}")
+        return max_epoch
+
+    # -- one batch ----------------------------------------------------------
+
+    def run_batch(self, chunk, gt_images, indices):
+        c = self.c
+        emb_batch = self.feats_train[jnp.asarray(indices)]
+        scores = np.asarray(self._scores_jit(self.params, emb_batch))
+
+        captions, layouts_pred, layouts_gt = [], [], []
+        chosen = np.zeros((len(chunk), c.shot_number), dtype=np.int32)
+        valid = np.zeros((len(chunk),), dtype=np.float32)
+        keep_rows = []
+        for i, ex in enumerate(chunk):
+            p = np.nan_to_num(scores[i].astype(np.float64), nan=1e-6)
+            p = p / p.sum()
+            cids = self.rng.choice(len(p), size=c.shot_number, replace=False, p=p)[::-1]
+            chosen[i] = cids
+            shots = [self.cand_examples[cid] for cid in cids]
+            prompt = build_prompt(shots, ex["captions"])
+            output = self.llm(prompt)
+            categories, bboxes = extract_prediction(output)
+            if len(categories) == 0:
+                continue
+            valid[i] = 1.0
+            keep_rows.append(i)
+            captions.append(ex["captions"])
+            layouts_pred.append((bboxes, categories))
+            layouts_gt.append((center2lefttop(ex["bbox"]), ex["label"]))
+
+        if not keep_rows:
+            return 0.0, 0.0
+
+        imgs_pred = self.generate_fn(captions, layouts_pred)
+        rewards_kept = self.reward_model(
+            captions, imgs_pred, gt_images[keep_rows], layouts_pred, layouts_gt
+        )
+        rewards = np.zeros((len(chunk),), dtype=np.float32)
+        rewards[keep_rows] = np.asarray(rewards_kept, dtype=np.float32)
+
+        loss, grads = self._loss_grad(
+            self.params, emb_batch, jnp.asarray(chosen), jnp.asarray(rewards),
+            jnp.asarray(valid),
+        )
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(self._current_lr())
+        updates, self.opt_state = self.opt.update(grads, self.opt_state, self.params)
+        self.params = optax.apply_updates(self.params, updates)
+        return float(rewards.sum()), float(loss)
+
+    # -- training loop ------------------------------------------------------
+
+    def train(self):
+        c = self.c
+        history = {"reward_history": [], "loss_history": [],
+                   "total_reward_history": [], "total_loss_history": []}
+        stop = False
+        step = 0
+        for epoch in range(self.start_epoch, self.start_epoch + c.epochs):
+            self._epoch = epoch
+            self.logger.write(f"Epoch: {epoch}")
+            total_reward = total_loss = 0.0
+            for chunk, gt_images, indices in self.batches:
+                reward, loss = self.run_batch(chunk, gt_images, indices)
+                total_reward += reward
+                total_loss += loss
+                history["reward_history"].append(reward)
+                history["loss_history"].append(loss)
+                self.metrics.log(step, reward=reward, loss=loss, lr=self._current_lr())
+                step += 1
+                if np.isnan(loss):
+                    stop = True
+                    break
+            history["total_reward_history"].append(total_reward)
+            history["total_loss_history"].append(total_loss)
+
+            best_r = max(history["total_reward_history"])
+            best_l = min(history["total_loss_history"])
+            self.logger.write(
+                f"### Epoch {epoch}: reward={total_reward:.3f} loss={total_loss:.3f} "
+                f"best_reward={best_r:.3f} best_loss={best_l:.3f}"
+            )
+            self._save(epoch)
+            if total_reward == best_r:
+                self._save(epoch, tag="ckpt_best_reward")
+            if total_loss == best_l:
+                self._save(epoch, tag="ckpt_best_loss")
+            with open(os.path.join(c.ckpt_path, "history.json"), "w") as f:
+                json.dump(history, f, indent=2)
+            if stop:
+                break
+        self._save(self.start_epoch + c.epochs - 1, tag="ckpt_final")
+        return history

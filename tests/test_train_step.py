@@ -1,0 +1,89 @@
+"""Train step: trainable-mode masking, loss finiteness, DP-mesh execution."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from layoutllm_t2i_tpu.models.unet import UNetConfig, init_unet_params
+from layoutllm_t2i_tpu.ops.schedules import make_ddpm_schedule
+from layoutllm_t2i_tpu.training.train_step import (
+    TRAINABLE_MODES, TrainStepConfig, init_train_state, make_train_step,
+    trainable_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UNetConfig(image_size=8, model_channels=32, num_res_blocks=1,
+                     attention_resolutions=(2, 1), channel_mult=(1, 2),
+                     num_heads=2, context_dim=16, grounding_in_dim=16,
+                     grounding_out_dim=16)
+    params = init_unet_params(jax.random.PRNGKey(0), cfg)
+    schedule = make_ddpm_schedule("linear", 1000, 0.00085, 0.012)
+    tcfg = TrainStepConfig(unet_cfg=cfg, schedule=schedule, trainable_mode="rela_fuse",
+                           learning_rate=1e-2, warmup_steps=0, total_steps=100,
+                           grounding_drop_prob=0.0)
+    return cfg, params, schedule, tcfg
+
+
+def _batch(cfg, b=2):
+    g = np.random.default_rng(0)
+    return {
+        "z": jnp.asarray(g.standard_normal((b, cfg.image_size, cfg.image_size, 4), ).astype(np.float32)),
+        "context": jnp.asarray(g.standard_normal((b, 7, cfg.context_dim)).astype(np.float32)),
+        "boxes": jnp.tile(jnp.asarray([[0.1, 0.1, 0.8, 0.8]], jnp.float32), (b, 5, 1)).reshape(b, 5, 4),
+        "masks": jnp.ones((b, 5), jnp.float32),
+        "phrase_embeddings": jnp.asarray(g.standard_normal((b, 5, cfg.grounding_in_dim)).astype(np.float32)),
+        "relations": jnp.asarray(g.standard_normal((b, 3, cfg.context_dim)).astype(np.float32)),
+    }
+
+
+def test_trainable_mask_selects_rela_fuse_only(setup):
+    _, params, _, _ = setup
+    mask = trainable_mask(params, TRAINABLE_MODES["rela_fuse"])
+    leaves = jax.tree_util.tree_leaves_with_path(mask)
+    true_paths = [jax.tree_util.keystr(p) for p, v in leaves if v]
+    assert true_paths, "no trainable params found"
+    assert all("rela_fuse" in p for p in true_paths)
+    # gligen mode trains fuser + position_net instead
+    mask2 = trainable_mask(params, TRAINABLE_MODES["gligen"])
+    paths2 = [jax.tree_util.keystr(p) for p, v in jax.tree_util.tree_leaves_with_path(mask2) if v]
+    assert any("position_net" in p for p in paths2)
+    assert all(("fuser" in p) or ("position_net" in p) for p in paths2)
+
+
+def test_train_step_updates_only_rela_fuse(setup):
+    cfg, params, schedule, tcfg = setup
+    state = init_train_state(tcfg, params)
+    step = jax.jit(make_train_step(tcfg, params))
+    new_state, loss = step(state, _batch(cfg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+    def diffs(a, b):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x, y: (jax.tree_util.keystr(p), bool(np.any(np.asarray(x) != np.asarray(y)))),
+            a, b)
+
+    changed = [name for name, ch in jax.tree.leaves(
+        diffs(params, new_state.params), is_leaf=lambda x: isinstance(x, tuple)) if ch]
+    assert changed, "nothing trained"
+    assert all("rela_fuse" in name for name in changed), changed[:5]
+
+
+def test_train_step_on_data_mesh(setup):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from layoutllm_t2i_tpu.parallel.mesh import make_mesh
+
+    cfg, params, schedule, tcfg = setup
+    mesh = make_mesh(8)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    state = init_train_state(tcfg, params)
+    state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+    batch = jax.tree.map(lambda x: jax.device_put(x, data), _batch(cfg, b=8))
+    step = jax.jit(make_train_step(tcfg, params),
+                   in_shardings=(repl, data, repl), out_shardings=(repl, repl))
+    new_state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert int(new_state.step) == 1
