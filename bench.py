@@ -39,7 +39,7 @@ def main():
     from layoutllm_t2i_tpu.models.clip_tokenizer import HashTokenizer
     from layoutllm_t2i_tpu.ops.schedules import make_ddpm_schedule
     from layoutllm_t2i_tpu.pipeline.inference import GligenModels, InferencePipeline
-    from layoutllm_t2i_tpu.utils.trees import cast_floating
+    from layoutllm_t2i_tpu.utils.trees import jitted_init
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -59,11 +59,11 @@ def main():
     k1, k2, k3 = jax.random.split(k, 3)
     models = GligenModels(
         unet_cfg=unet_cfg,
-        unet_params=cast_floating(init_unet_params(k1, unet_cfg), dtype),
+        unet_params=jitted_init(init_unet_params, k1, unet_cfg, dtype),
         vae_cfg=vae_cfg,
-        vae_params=cast_floating(init_vae_params(k2, vae_cfg), dtype),
+        vae_params=jitted_init(init_vae_params, k2, vae_cfg, dtype),
         clip_cfg=clip_cfg,
-        clip_params=cast_floating(init_clip_text_params(k3, clip_cfg), dtype),
+        clip_params=jitted_init(init_clip_text_params, k3, clip_cfg, dtype),
         schedule=make_ddpm_schedule("linear", 1000, 0.00085, 0.012),
         tokenizer=HashTokenizer(vocab_size=clip_cfg.vocab_size),
         compute_dtype=dtype,

@@ -106,10 +106,10 @@ def init_clip_text_params(key, cfg: CLIPTextConfig):
     return {
         "embeddings": {
             "token_embedding": {
-                "weight": jax.random.normal(next(keys), (cfg.vocab_size, c)) * 0.02
+                "weight": init.normal_p(next(keys), (cfg.vocab_size, c), 0.02)
             },
             "position_embedding": {
-                "weight": jax.random.normal(next(keys), (cfg.max_length, c)) * 0.01
+                "weight": init.normal_p(next(keys), (cfg.max_length, c), 0.01)
             },
         },
         "encoder": {"layers": layers},

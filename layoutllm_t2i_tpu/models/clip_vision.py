@@ -117,14 +117,13 @@ def init_clip_vision_params(key, cfg: CLIPVisionConfig):
     return {
         "vision_model": {
             "embeddings": {
-                "class_embedding": jax.random.normal(next(keys), (c,)) * 0.02,
+                "class_embedding": init.normal_p(next(keys), (c,), 0.02),
                 "patch_embedding": {
-                    "weight": jax.random.normal(
-                        next(keys), (cfg.patch_size, cfg.patch_size, 3, c)) * 0.02,
+                    "weight": init.normal_p(
+                        next(keys), (cfg.patch_size, cfg.patch_size, 3, c), 0.02),
                 },
                 "position_embedding": {
-                    "weight": jax.random.normal(
-                        next(keys), (cfg.num_patches + 1, c)) * 0.02,
+                    "weight": init.normal_p(next(keys), (cfg.num_patches + 1, c), 0.02),
                 },
             },
             "pre_layrnorm": init.norm_p(c),

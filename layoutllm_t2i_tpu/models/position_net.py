@@ -41,8 +41,8 @@ def init_position_net(key, in_dim: int = 768, out_dim: int = 768,
             "2": init.linear_p(ks[1], 512, 512),
             "4": init.linear_p(ks[2], 512, out_dim),
         },
-        "null_positive_feature": jnp.zeros((in_dim,), jnp.float32),
-        "null_position_feature": jnp.zeros((position_dim,), jnp.float32),
+        "null_positive_feature": init.zeros_p((in_dim,)),
+        "null_position_feature": init.zeros_p((position_dim,)),
     }
 
 
@@ -89,7 +89,7 @@ def init_position_net_text_image(key, in_dim: int = 768, out_dim: int = 768,
     return {
         "linears_text": mk(ks[0], ks[1], ks[2]),
         "linears_image": mk(ks[3], ks[4], ks[5]),
-        "null_text_feature": jnp.zeros((in_dim,), jnp.float32),
-        "null_image_feature": jnp.zeros((in_dim,), jnp.float32),
-        "null_position_feature": jnp.zeros((position_dim,), jnp.float32),
+        "null_text_feature": init.zeros_p((in_dim,)),
+        "null_image_feature": init.zeros_p((in_dim,)),
+        "null_position_feature": init.zeros_p((position_dim,)),
     }

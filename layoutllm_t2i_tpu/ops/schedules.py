@@ -109,7 +109,9 @@ def make_ddim_timesteps(
         ).astype(int)
     else:
         raise NotImplementedError(f"unknown ddim discretization: {ddim_discr_method}")
-    return ddim_timesteps + 1
+    # +1 offset per the reference (util.py:66); clamp so step counts that do
+    # not divide T cannot index past the schedule (the reference would crash)
+    return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
 
 
 def make_ddim_sampling_parameters(

@@ -15,7 +15,7 @@ from ..models.clip_tokenizer import default_tokenizer
 from ..models.unet import UNetConfig, init_unet_params
 from ..models.vae import VAEConfig, init_vae_params
 from ..ops.schedules import make_ddpm_schedule
-from ..utils.trees import cast_floating
+from ..utils.trees import cast_floating, jitted_init
 from .inference import GligenModels
 
 
@@ -86,11 +86,11 @@ def random_models(seed: int = 0, dtype=None, small: bool = False) -> GligenModel
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
     return GligenModels(
         unet_cfg=unet_cfg,
-        unet_params=cast_floating(init_unet_params(k1, unet_cfg), dtype),
+        unet_params=jitted_init(init_unet_params, k1, unet_cfg, dtype),
         vae_cfg=vae_cfg,
-        vae_params=cast_floating(init_vae_params(k2, vae_cfg), dtype),
+        vae_params=jitted_init(init_vae_params, k2, vae_cfg, dtype),
         clip_cfg=clip_cfg,
-        clip_params=cast_floating(init_clip_text_params(k3, clip_cfg), dtype),
+        clip_params=jitted_init(init_clip_text_params, k3, clip_cfg, dtype),
         schedule=make_ddpm_schedule("linear", 1000, 0.00085, 0.012),
         tokenizer=default_tokenizer(),
         compute_dtype=dtype,

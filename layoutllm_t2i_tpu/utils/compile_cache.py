@@ -6,11 +6,14 @@ import os
 
 
 def enable_persistent_cache(path: str | None = None) -> None:
+    """Opt-in via LLT2I_COMPILE_CACHE=<dir>. Disabled by default: the axon
+    remote-compile TPU plugin stalls when the persistent cache tries to
+    serialize its executables."""
     import jax
 
-    path = path or os.environ.get(
-        "LLT2I_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
-    )
+    path = path or os.environ.get("LLT2I_COMPILE_CACHE")
+    if not path:
+        return
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     try:

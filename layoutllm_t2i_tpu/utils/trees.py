@@ -27,5 +27,73 @@ def override_subtree(params: dict, path, value):
     return out
 
 
+def device_put_tree(host_tree, device=None, dtype=None):
+    """Move a (numpy) pytree to device with ONE bulk transfer.
+
+    Leaf-wise device_put pays per-call tunnel latency (~1700 leaves for the
+    SD UNet); here all floating leaves are flat-packed into a single buffer
+    (cast to ``dtype`` host-side), transferred once, and unflattened on
+    device in one jitted program of static slices. Non-floating leaves ride
+    along in a second small transfer batch.
+    """
+    import numpy as np
+
+    device = device or jax.devices()[0]
+    leaves, treedef = jax.tree_util.tree_flatten(host_tree)
+    target = np.dtype(dtype) if dtype is not None else None
+
+    float_idx = [i for i, x in enumerate(leaves)
+                 if jnp.issubdtype(np.asarray(x).dtype, jnp.floating)]
+    others = {i: jax.device_put(leaves[i], device)
+              for i in range(len(leaves)) if i not in set(float_idx)}
+
+    shapes = [np.asarray(leaves[i]).shape for i in float_idx]
+    sizes = [int(np.prod(s)) for s in shapes]
+    offs = np.cumsum([0] + sizes)
+    # pack in the host dtype (cheap memcpy); the target-dtype cast happens on
+    # device inside the unflatten program — host bf16 casts are ~10x slower
+    # than the extra f32 transfer
+    buf = np.empty((int(offs[-1]),), dtype=np.asarray(leaves[float_idx[0]]).dtype)
+    for j, i in enumerate(float_idx):
+        buf[offs[j]:offs[j + 1]] = np.asarray(leaves[i]).ravel()
+    dbuf = jax.device_put(buf, device)
+
+    def unflatten(b):
+        if target is not None:
+            b = b.astype(target)
+        return [
+            jax.lax.slice(b, (int(offs[j]),), (int(offs[j + 1]),)).reshape(shapes[j])
+            for j in range(len(float_idx))
+        ]
+
+    dev_floats = jax.jit(unflatten)(dbuf)
+    out = list(range(len(leaves)))
+    for j, i in enumerate(float_idx):
+        out[i] = dev_floats[j]
+    for i, v in others.items():
+        out[i] = v
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def materialize_params(init_fn, key, cfg, dtype=None):
+    """Initialize params on host CPU, then bulk-transfer to the default
+    device (see device_put_tree). Avoids both per-op dispatch latency and a
+    giant-RNG-graph compile on remote TPUs."""
+    import numpy as np
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_fn(key, cfg)
+        params = jax.tree.map(lambda x: np.asarray(x), params)
+    if jax.default_backend() == "cpu":
+        return cast_floating(params, dtype) if dtype is not None else params
+    return device_put_tree(params, dtype=dtype)
+
+
+# backwards-compatible alias (older call sites)
+def jitted_init(init_fn, key, cfg, dtype=None):
+    return materialize_params(init_fn, key, cfg, dtype)
+
+
 def count_params(tree) -> int:
     return sum(x.size for x in jax.tree.leaves(tree) if hasattr(x, "size"))
