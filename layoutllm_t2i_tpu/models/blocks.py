@@ -223,13 +223,15 @@ _FUSERS = {
 
 def basic_transformer_block(p, x, context, objs, relations, boxes, masks,
                             h: int, w: int, heads: int, fuser_scale=1.0,
-                            fuser_type: str = "gatedSA", impl: str = "auto"):
+                            fuser_type: str = "gatedSA", impl: str = "auto",
+                            use_rela: bool = True):
     x = self_attention(p["attn1"], nn.layer_norm(p["norm1"], x), heads, impl=impl) + x
     x = _FUSERS[fuser_type](p["fuser"], x, objs, heads, fuser_scale, impl=impl)
-    # NOTE: the relation fuser keeps scale=1 always — set_alpha_scale only
-    # touches the gated fusers (txt2img.py:46-50)
-    x = (relation_cross_attention(p["rela_fuse"], x, relations, boxes, masks,
-                                  h, w, heads, impl=impl) + x) / 2
+    if use_rela:
+        # NOTE: the relation fuser keeps scale=1 always — set_alpha_scale only
+        # touches the gated fusers (txt2img.py:46-50)
+        x = (relation_cross_attention(p["rela_fuse"], x, relations, boxes, masks,
+                                      h, w, heads, impl=impl) + x) / 2
     x = cross_attention(p["attn2"], nn.layer_norm(p["norm2"], x), context, context,
                         heads, impl=impl) + x
     x = nn.geglu_ff(p["ff"], nn.layer_norm(p["norm3"], x)) + x
@@ -237,13 +239,13 @@ def basic_transformer_block(p, x, context, objs, relations, boxes, masks,
 
 
 def init_basic_transformer_block(key, query_dim, key_dim, value_dim, heads, d_head,
-                                 fuser_type: str = "gatedSA"):
+                                 fuser_type: str = "gatedSA", use_rela: bool = True):
     ks = jax.random.split(key, 5)
     if fuser_type in ("gatedSA", "gatedSA2"):
         fuser = init_gated_self_attention(ks[3], query_dim, key_dim, heads, d_head)
     else:
         fuser = init_gated_cross_attention(ks[3], query_dim, key_dim, value_dim, heads, d_head)
-    return {
+    p = {
         "attn1": init_cross_attention(ks[0], query_dim, query_dim, query_dim, heads, d_head),
         "ff": init_ff(ks[1], query_dim),
         "attn2": init_cross_attention(ks[2], query_dim, key_dim, value_dim, heads, d_head),
@@ -251,14 +253,18 @@ def init_basic_transformer_block(key, query_dim, key_dim, value_dim, heads, d_he
         "norm2": init.norm_p(query_dim),
         "norm3": init.norm_p(query_dim),
         "fuser": fuser,
-        "rela_fuse": init_relation_cross_attention(ks[4], query_dim, key_dim, value_dim,
-                                                   heads, d_head),
     }
+    if use_rela:
+        # the vanilla GLIGEN UNet (openaimodel_original.py) has no rela_fuse —
+        # omitting it keeps plain-GLIGEN checkpoints loadable strict
+        p["rela_fuse"] = init_relation_cross_attention(ks[4], query_dim, key_dim,
+                                                       value_dim, heads, d_head)
+    return p
 
 
 def spatial_transformer(p, x, context, objs, relations, boxes, masks, heads: int,
                         fuser_scale=1.0, fuser_type: str = "gatedSA",
-                        depth: int = 1, impl: str = "auto"):
+                        depth: int = 1, impl: str = "auto", use_rela: bool = True):
     """x: (B, H, W, C) NHWC. Conv-in/out are 1x1 (attention.py:405-446)."""
     b, h, w, cin = x.shape
     x_in = x
@@ -268,7 +274,7 @@ def spatial_transformer(p, x, context, objs, relations, boxes, masks, heads: int
     for d in range(depth):
         x = basic_transformer_block(
             p["transformer_blocks"][str(d)], x, context, objs, relations, boxes,
-            masks, h, w, heads, fuser_scale, fuser_type, impl=impl,
+            masks, h, w, heads, fuser_scale, fuser_type, impl=impl, use_rela=use_rela,
         )
     x = x.reshape(b, h, w, -1)
     x = nn.conv2d(p["proj_out"], x, padding=0)
@@ -276,7 +282,8 @@ def spatial_transformer(p, x, context, objs, relations, boxes, masks, heads: int
 
 
 def init_spatial_transformer(key, in_channels, key_dim, value_dim, heads, d_head,
-                             depth: int = 1, fuser_type: str = "gatedSA"):
+                             depth: int = 1, fuser_type: str = "gatedSA",
+                             use_rela: bool = True):
     query_dim = heads * d_head
     ks = jax.random.split(key, depth + 2)
     return {
@@ -284,7 +291,8 @@ def init_spatial_transformer(key, in_channels, key_dim, value_dim, heads, d_head
         "proj_in": init.conv_p(ks[0], 1, 1, in_channels, query_dim),
         "transformer_blocks": {
             str(d): init_basic_transformer_block(ks[2 + d], query_dim, key_dim,
-                                                 value_dim, heads, d_head, fuser_type)
+                                                 value_dim, heads, d_head,
+                                                 fuser_type, use_rela)
             for d in range(depth)
         },
         "proj_out": init.conv_p(ks[1], 1, 1, query_dim, in_channels),

@@ -26,7 +26,10 @@ from ..ops import nn
 from ..ops.schedules import timestep_embedding
 from . import initializers as init
 from .blocks import spatial_transformer, init_spatial_transformer
-from .position_net import position_net, init_position_net
+from .position_net import (
+    position_net, init_position_net,
+    position_net_text_image, init_position_net_text_image,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +50,12 @@ class UNetConfig:
     additional_in_channels: int = 0
     grounding_in_dim: int = 768
     grounding_out_dim: int = 768
+    # LayoutLLM-T2I's relation-aware layer; False = vanilla GLIGEN UNet
+    # (openaimodel_original.py — no rela_fuse params)
+    use_relation_attention: bool = True
+    # grounding tokenizer family: text | text_image | keypoint
+    grounding_type: str = "text"
+    max_persons_per_image: int = 8  # keypoint mode only
 
     @property
     def first_conv_in_channels(self) -> int:
@@ -149,6 +158,40 @@ def upsample(p, x):
 # full UNet
 
 
+def _init_position_net_for(key, cfg: UNetConfig):
+    if cfg.grounding_type == "text":
+        return init_position_net(key, cfg.grounding_in_dim, cfg.grounding_out_dim)
+    if cfg.grounding_type == "text_image":
+        return init_position_net_text_image(key, cfg.grounding_in_dim,
+                                            cfg.grounding_out_dim)
+    if cfg.grounding_type == "keypoint":
+        from .grounding_extras import init_position_net_keypoint
+
+        return init_position_net_keypoint(key, cfg.max_persons_per_image,
+                                          cfg.grounding_out_dim)
+    raise ValueError(f"unknown grounding_type {cfg.grounding_type}")
+
+
+def _apply_position_net(params, cfg: UNetConfig, boxes, masks,
+                        positive_embeddings, extra_grounding):
+    if cfg.grounding_type == "text":
+        return position_net(params, boxes, masks, positive_embeddings)
+    if cfg.grounding_type == "text_image":
+        eg = extra_grounding or {}
+        return position_net_text_image(
+            params, boxes, masks, eg["text_masks"], eg["image_masks"],
+            positive_embeddings, eg["image_embeddings"],
+        )
+    if cfg.grounding_type == "keypoint":
+        from .grounding_extras import position_net_keypoint
+
+        # boxes carries the (B, P*17, 2) keypoint coordinates in this mode
+        return position_net_keypoint(params, boxes, masks,
+                                     cfg.max_persons_per_image,
+                                     cfg.grounding_out_dim)
+    raise ValueError(f"unknown grounding_type {cfg.grounding_type}")
+
+
 def init_unet_params(key, cfg: UNetConfig):
     emb_ch = cfg.model_channels * 4
     keys = iter(jax.random.split(key, 256))
@@ -157,9 +200,7 @@ def init_unet_params(key, cfg: UNetConfig):
             "0": init.linear_p(next(keys), cfg.model_channels, emb_ch),
             "2": init.linear_p(next(keys), emb_ch, emb_ch),
         },
-        "position_net": init_position_net(
-            next(keys), cfg.grounding_in_dim, cfg.grounding_out_dim
-        ),
+        "position_net": _init_position_net_for(next(keys), cfg),
     }
 
     d_head = lambda ch: ch // cfg.num_heads
@@ -176,6 +217,7 @@ def init_unet_params(key, cfg: UNetConfig):
                 blk["1"] = init_spatial_transformer(
                     next(keys), co, cfg.context_dim, cfg.context_dim,
                     cfg.num_heads, d_head(co), cfg.transformer_depth, cfg.fuser_type,
+                    cfg.use_relation_attention,
                 )
         inblocks[str(idx)] = blk
     params["input_blocks"] = inblocks
@@ -186,6 +228,7 @@ def init_unet_params(key, cfg: UNetConfig):
         "1": init_spatial_transformer(
             next(keys), mid_ch, cfg.context_dim, cfg.context_dim, cfg.num_heads,
             d_head(mid_ch), cfg.transformer_depth, cfg.fuser_type,
+            cfg.use_relation_attention,
         ),
         "2": init_res_block(next(keys), mid_ch, mid_ch, emb_ch),
     }
@@ -198,6 +241,7 @@ def init_unet_params(key, cfg: UNetConfig):
             blk[str(nxt)] = init_spatial_transformer(
                 next(keys), co, cfg.context_dim, cfg.context_dim, cfg.num_heads,
                 d_head(co), cfg.transformer_depth, cfg.fuser_type,
+                cfg.use_relation_attention,
             )
             nxt += 1
         if up:
@@ -226,9 +270,11 @@ def unet_apply(
     inpainting_extra: Optional[jnp.ndarray] = None,   # (B, H, W, C+1)
     grounding_extra: Optional[jnp.ndarray] = None,    # pre-downsampled channels
     attn_impl: str = "auto",
+    extra_grounding: Optional[dict] = None,           # text_image mode inputs
 ):
     """One eps-prediction forward (openaimodel.py:413-459)."""
-    objs = position_net(params["position_net"], boxes, masks, positive_embeddings)
+    objs = _apply_position_net(params["position_net"], cfg, boxes, masks,
+                               positive_embeddings, extra_grounding)
     objs = objs.astype(x.dtype)
 
     t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
@@ -246,6 +292,7 @@ def unet_apply(
         return spatial_transformer(
             p_st, h, context, objs, relations, boxes, masks, cfg.num_heads,
             fuser_scale, cfg.fuser_type, cfg.transformer_depth, impl=attn_impl,
+            use_rela=cfg.use_relation_attention,
         )
 
     hs = []
