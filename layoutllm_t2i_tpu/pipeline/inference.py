@@ -152,6 +152,8 @@ class InferencePipeline:
         )
         self._encode_jit = jax.jit(self._encode_fn)
         self._sample_jit = jax.jit(self._sample_fn)
+        self._sharded_jit = None
+        self._sharded_mesh = None
 
     # -- text encode ------------------------------------------------------
 
@@ -229,6 +231,42 @@ class InferencePipeline:
         m = self.models
         return self._sample_jit(m.unet_params, m.vae_params, m.sd_first_conv,
                                 cond, noise, rng)
+
+    # -- multi-device prompt-parallel sampling ------------------------------
+
+    def sample_latents_sharded(self, mesh, cond, noise, rng=None):
+        """Shard the prompt batch over the mesh's 'data' axis (params
+        replicated); for generation sweeps this is the reference's num_per_
+        prompt/DP axis (SURVEY.md §7)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self._sharded_jit is None or self._sharded_mesh is not mesh:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self._sharded_jit = jax.jit(
+                self._sample_fn,
+                in_shardings=(repl, repl, repl, data, data, repl),
+                out_shardings=data,
+            )
+            self._sharded_mesh = mesh
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        m = self.models
+        return self._sharded_jit(m.unet_params, m.vae_params, m.sd_first_conv,
+                                 cond, noise, rng)
+
+    def generate_sharded(self, mesh, prompts: List[str], layouts,
+                         relation_texts=None, seed: int = 42, **cond_kwargs) -> np.ndarray:
+        n_dev = mesh.devices.size
+        assert len(prompts) % n_dev == 0, (
+            f"batch {len(prompts)} must divide over {n_dev} devices")
+        m = self.models
+        cond = self.build_cond(prompts, layouts, relation_texts, **cond_kwargs)
+        knoise, krun = jax.random.split(jax.random.PRNGKey(seed))
+        noise = jax.random.normal(
+            knoise, (len(prompts), m.unet_cfg.image_size, m.unet_cfg.image_size,
+                     m.unet_cfg.in_channels), jnp.float32)
+        img = self.sample_latents_sharded(mesh, cond, noise, krun)
+        return np.asarray(img)
 
     def generate(self, prompts: List[str], layouts, relation_texts=None, seed: int = 42,
                  **cond_kwargs) -> np.ndarray:
