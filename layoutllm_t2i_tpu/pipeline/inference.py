@@ -107,7 +107,14 @@ def make_cfg_denoiser(
             params = override_subtree(params, ("input_blocks", "0", "0"), blended)
 
         xm = x.astype(dtype)
+        grounding_extra = cond.get("grounding_extra")      # downsampled maps
+        inpainting_extra = cond.get("inpainting_extra")    # masked z + mask
+        extra_grounding = cond.get("extra_grounding")      # text_image inputs
         if use_cfg:
+            # uncond half: empty-text context, null (zero) grounding; the
+            # extra input channels and relations ride through unchanged
+            # (plms.py:118-121)
+            dup = lambda a: None if a is None else jnp.concatenate([a, a])
             x2 = jnp.concatenate([xm, xm])
             t2 = jnp.concatenate([t, t])
             ctx = jnp.concatenate([cond["context"], cond["uc_context"]]).astype(dtype)
@@ -117,14 +124,22 @@ def make_cfg_denoiser(
                 [cond["phrase_embeddings"], jnp.zeros_like(cond["phrase_embeddings"])]
             ).astype(dtype)
             rel = jnp.concatenate([cond["relations"], cond["relations"]]).astype(dtype)
+            eg2 = (None if extra_grounding is None
+                   else {k: jnp.concatenate([v, jnp.zeros_like(v)])
+                         for k, v in extra_grounding.items()})
             eps = unet_apply(params, cfg, x2, t2, ctx, boxes, masks, pos, rel,
-                             fuser_scale=fuser_scale, attn_impl=attn_impl)
+                             fuser_scale=fuser_scale,
+                             inpainting_extra=dup(inpainting_extra),
+                             grounding_extra=dup(grounding_extra),
+                             attn_impl=attn_impl, extra_grounding=eg2)
             e_cond, e_uncond = jnp.split(eps.astype(jnp.float32), 2)
             return e_uncond + guidance_scale * (e_cond - e_uncond)
         eps = unet_apply(params, cfg, xm, t, cond["context"].astype(dtype), cond["boxes"],
                          cond["masks"], cond["phrase_embeddings"].astype(dtype),
                          cond["relations"].astype(dtype), fuser_scale=fuser_scale,
-                         attn_impl=attn_impl)
+                         inpainting_extra=inpainting_extra,
+                         grounding_extra=grounding_extra,
+                         attn_impl=attn_impl, extra_grounding=extra_grounding)
         return eps.astype(jnp.float32)
 
     return denoise
@@ -181,7 +196,13 @@ class InferencePipeline:
             return denoise_core(unet_params, sd_conv, cond, x, t, fscale, use_sd)
 
         sample = plms_sample if self.sampler == "plms" else ddim_sample
-        z = sample(denoise, self.tables, noise, schedule=self.models.schedule, rng=rng)
+        inpaint = None
+        if cond.get("inpaint_mask") is not None:
+            from ..diffusion.samplers import InpaintBlend
+
+            inpaint = InpaintBlend(mask=cond["inpaint_mask"], z0=cond["inpaint_z0"])
+        z = sample(denoise, self.tables, noise, schedule=self.models.schedule,
+                   inpaint=inpaint, rng=rng)
         img = vae_decode(vae_params, self.models.vae_cfg,
                          z.astype(self.models.compute_dtype))
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0) * 0.5 + 0.5

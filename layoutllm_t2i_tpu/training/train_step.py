@@ -50,6 +50,7 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    ema_params: Any = None  # populated when TrainStepConfig.ema_rate is set
 
 
 @dataclasses.dataclass
@@ -63,6 +64,9 @@ class TrainStepConfig:
     total_steps: int = 500_000
     lr_schedule: str = "constant"  # constant | cosine, both with warmup
     grounding_drop_prob: float = 0.1  # CFG drop (openaimodel.py:421-422)
+    # EMA of params (reference LitEma / trainer update_ema; disabled there by
+    # default and here when None)
+    ema_rate: Optional[float] = None
 
 
 def make_optimizer(cfg: TrainStepConfig, params):
@@ -88,7 +92,9 @@ def make_optimizer(cfg: TrainStepConfig, params):
 
 def init_train_state(cfg: TrainStepConfig, params) -> TrainState:
     tx = make_optimizer(cfg, params)
-    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+    ema = jax.tree.map(lambda x: x, params) if cfg.ema_rate is not None else None
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32), ema_params=ema)
 
 
 def make_loss_fn(cfg: TrainStepConfig):
@@ -129,6 +135,10 @@ def make_train_step(cfg: TrainStepConfig, params_template):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        ema = state.ema_params
+        if cfg.ema_rate is not None:
+            r = cfg.ema_rate
+            ema = jax.tree.map(lambda e, p: e * r + p * (1 - r), ema, params)
+        return TrainState(params, opt_state, state.step + 1, ema), loss
 
     return train_step
