@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--small", action="store_true", help="tiny model for CPU smoke")

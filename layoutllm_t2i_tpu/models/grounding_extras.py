@@ -59,6 +59,51 @@ def init_position_net_keypoint(key, max_persons: int, out_dim: int,
 
 
 # ---------------------------------------------------------------------------
+# condition-map grounding tokenizer (canny/hed/depth/normal/sem):
+# ConvNeXt-tiny over the map -> 196 spatial tokens (+ BERT-style pos emb)
+# (canny_grounding_net.py:12-62)
+
+
+def position_net_map(p, cond_map, mask, resize_input: int = 448):
+    """cond_map: (B, H, W, 3) in [0,1]; mask: (B,) 0/1 validity per sample."""
+    from .convnext import ConvNeXtConfig, convnext_features
+
+    b = cond_map.shape[0]
+    x = jax.image.resize(cond_map, (b, resize_input, resize_input, cond_map.shape[-1]),
+                         "bilinear")
+    feats = convnext_features(p["convnext_tiny_backbone"], ConvNeXtConfig(), x)
+    num_tokens = feats.shape[1] * feats.shape[2]
+    objs = feats.reshape(b, num_tokens, -1)
+
+    m = mask.reshape(-1, 1, 1).astype(objs.dtype)
+    null = p["null_feature"].reshape(1, 1, -1).astype(objs.dtype)
+    objs = objs * m + null * (1 - m)
+    objs = objs + p["pos_embedding"].astype(objs.dtype)
+
+    h = nn.silu(nn.linear(p["linears"]["0"], objs))
+    h = nn.silu(nn.linear(p["linears"]["2"], h))
+    return nn.linear(p["linears"]["4"], h)
+
+
+def init_position_net_map(key, out_dim: int = 768, resize_input: int = 448):
+    from .convnext import ConvNeXtConfig, init_convnext_params
+
+    num_tokens = (resize_input // 32) ** 2
+    feat_dim = 768
+    ks = jax.random.split(key, 5)
+    return {
+        "convnext_tiny_backbone": init_convnext_params(ks[0], ConvNeXtConfig()),
+        "pos_embedding": init.normal_p(ks[1], (1, num_tokens, feat_dim), 0.02),
+        "linears": {
+            "0": init.linear_p(ks[2], feat_dim, 512),
+            "2": init.linear_p(ks[3], 512, 512),
+            "4": init.linear_p(ks[4], 512, out_dim),
+        },
+        "null_feature": init.zeros_p((feat_dim,)),
+    }
+
+
+# ---------------------------------------------------------------------------
 # condition-map downsampler: map -> extra UNet input channels
 
 
