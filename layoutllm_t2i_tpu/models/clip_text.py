@@ -60,8 +60,10 @@ def _attn(p, x, num_heads: int):
 def clip_text_apply(params, cfg: CLIPTextConfig, input_ids):
     """input_ids: (B, 77) int32. Returns (last_hidden (B,77,C), pooled (B,C))."""
     b, n = input_ids.shape
-    tok = params["embeddings"]["token_embedding"]["weight"][input_ids]
-    pos = params["embeddings"]["position_embedding"]["weight"][:n]
+    # params may be host numpy (materialize_params on CPU); jnp-wrap so a
+    # traced input_ids can gather from the table
+    tok = jnp.asarray(params["embeddings"]["token_embedding"]["weight"])[input_ids]
+    pos = jnp.asarray(params["embeddings"]["position_embedding"]["weight"])[:n]
     x = tok + pos[None]
     for i in range(cfg.num_layers):
         lyr = params["encoder"]["layers"][str(i)]

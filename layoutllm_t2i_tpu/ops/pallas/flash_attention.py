@@ -1,13 +1,16 @@
 """Pallas TPU flash attention (forward, non-causal).
 
-Used for the UNet's spatial self/gated self-attention where N is up to 4096
-latent tokens (+30 grounding tokens) and materializing the (N x N) score
-matrix per head is HBM-bandwidth bound. Online-softmax over key blocks keeps
-everything in VMEM; scores/accumulation are float32, inputs may be bfloat16.
+Used for the UNet's spatial self/gated self-attention (up to 4096+30 tokens,
+head dim 40-160) and the VAE's single-head 4096x512 attention. Online softmax
+over a 3-D grid (batch*heads, q-blocks, k-blocks): K/V stream through VMEM
+one block at a time (holding full K/V resident OOMs the 16MB VMEM at
+4096x512), with the running max/denominator/accumulator in VMEM scratch that
+persists across the sequential k dimension. Scores/accumulation are float32;
+inputs may be bfloat16.
 
-Head dims in SD-1.x are 40/80/160, so q/k/v are zero-padded to a 128-lane
-multiple (zero features don't change dot products); padded key rows are
-masked to -inf before the softmax, padded query rows are sliced away.
+Head dims are zero-padded to a 128-lane multiple (zero features don't change
+dot products); padded key rows are masked to -inf, padded query rows sliced
+away.
 """
 from __future__ import annotations
 
@@ -25,36 +28,40 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, C)
-    block_q, cp = q.shape
-    mp = k_ref.shape[1]
-    num_kb = mp // block_k
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  block_k: int, kv_len: int, scale: float, num_kb: int):
+    ki = pl.program_id(2)
 
-    m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc0 = jnp.zeros((block_q, cp), dtype=jnp.float32)
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    def body(j, carry):
-        m_i, l_i, acc = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
-        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(col < kv_len, s, _NEG_INF)
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc_new
+    q = q_ref[0].astype(jnp.float32) * scale          # (BQ, C)
+    k = k_ref[0].astype(jnp.float32)                  # (BK, C)
+    v = v_ref[0].astype(jnp.float32)
+    block_q = q.shape[0]
 
-    m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (BQ, BK)
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == num_kb - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -65,21 +72,32 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
     """q: (BH, Np, Cp), k/v: (BH, Mp, Cp) — padded; kv_len is the true M."""
     bh, np_, cp = q.shape
     mp = k.shape[1]
-    grid = (bh, np_ // block_q)
+    num_kb = mp // block_k
+    grid = (bh, np_ // block_q, num_kb)
     kernel = functools.partial(
-        _flash_kernel, block_k=block_k, kv_len=kv_len, scale=scale
+        _flash_kernel, block_k=block_k, kv_len=kv_len, scale=scale, num_kb=num_kb
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, np_, cp), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, cp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, cp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, cp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, cp), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, cp), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, cp), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, cp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        out_specs=pl.BlockSpec((1, block_q, cp), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
+            pltpu.VMEM((block_q, cp), jnp.float32),    # accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(q, k, v)

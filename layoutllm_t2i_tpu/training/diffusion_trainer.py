@@ -69,7 +69,12 @@ class DiffusionTrainer:
         loaded from config.ckpt_path or randomly initialized."""
         self.config = config
         self.dataset = dataset
-        self.mesh = make_mesh(config.num_devices)
+        n_dev = config.num_devices
+        if n_dev is None:
+            # largest device count that divides the global batch
+            avail = jax.device_count()
+            n_dev = max(d for d in range(1, avail + 1) if config.batch_size % d == 0)
+        self.mesh = make_mesh(n_dev)
         self.run_dir, resume_ckpt = create_run_dir_with_auto_resume(
             config.output_root, config.name
         )

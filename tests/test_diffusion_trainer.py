@@ -1,0 +1,51 @@
+"""Diffusion trainer loop: synthetic data, ckpt save + auto-resume."""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from layoutllm_t2i_tpu.data.synthetic import synthetic_layout_batches
+from layoutllm_t2i_tpu.models.clip_text import CLIPTextConfig, init_clip_text_params
+from layoutllm_t2i_tpu.models.clip_tokenizer import HashTokenizer
+from layoutllm_t2i_tpu.models.unet import UNetConfig, init_unet_params
+from layoutllm_t2i_tpu.models.vae import VAEConfig, init_vae_params
+from layoutllm_t2i_tpu.ops.schedules import make_ddpm_schedule
+from layoutllm_t2i_tpu.training.diffusion_trainer import DiffusionTrainer, TrainerConfig
+
+
+def tiny_models():
+    unet_cfg = UNetConfig(image_size=8, model_channels=32, num_res_blocks=1,
+                          attention_resolutions=(2, 1), channel_mult=(1, 2),
+                          num_heads=2, context_dim=32, grounding_in_dim=32,
+                          grounding_out_dim=32)
+    vae_cfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    clip_cfg = CLIPTextConfig(num_layers=1, hidden_size=32, num_heads=2,
+                              intermediate_size=64, vocab_size=512)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return dict(
+        unet_cfg=unet_cfg, unet_params=init_unet_params(k1, unet_cfg),
+        vae_cfg=vae_cfg, vae_params=init_vae_params(k2, vae_cfg),
+        clip_cfg=clip_cfg, clip_params=init_clip_text_params(k3, clip_cfg),
+        schedule=make_ddpm_schedule("linear", 1000, 0.00085, 0.012),
+        tokenizer=HashTokenizer(max_length=8, vocab_size=512),
+    )
+
+
+def test_trainer_runs_and_resumes(tmp_path):
+    cfg = TrainerConfig(output_root=str(tmp_path), name="t", batch_size=2,
+                        total_iters=3, save_every_iters=2, log_every=1,
+                        warmup_steps=1, max_boxes=30, max_relations=5,
+                        disable_inference_in_training=True)
+    # VAE is f2 for ch_mult (1,2): image 16 -> latent 8 matches the unet
+    data = synthetic_layout_batches(cfg.batch_size, image_size=16, max_boxes=30)
+    tr = DiffusionTrainer(cfg, data, models=tiny_models())
+    tr.train()
+    run = tr.run_dir
+    assert os.path.exists(os.path.join(run, "checkpoint_latest", "state.pkl"))
+    assert os.path.exists(os.path.join(run, "metrics.jsonl"))
+
+    # relaunch with same name -> auto-resume from the saved step
+    tr2 = DiffusionTrainer(cfg, data, models=tiny_models())
+    assert tr2.run_dir == run
+    assert tr2.starting_iter >= 2
