@@ -64,6 +64,45 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
+                         kv_len: int, scale: float):
+    """Single-program variant: full K/V resident in VMEM, fori over k-blocks.
+    Faster than the streaming grid when K/V fit (fewer grid iterations, no
+    scratch round-trips); the wrapper picks it by VMEM footprint."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    block_q, cp = q.shape
+    mp = k_ref.shape[1]
+    num_kb = mp // block_k
+
+    m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((block_q, cp), dtype=jnp.float32)
+
+    def body(j, carry):
+        m_i, l_i, acc = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+
+
+# keep total VMEM well under the 16MB budget (K+V resident, double-buffered
+# q/out blocks, f32 accumulator)
+_FULLKV_VMEM_BYTES = 4 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k", "kv_len", "interpret")
 )
@@ -73,6 +112,29 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
     bh, np_, cp = q.shape
     mp = k.shape[1]
     num_kb = mp // block_k
+    kv_bytes = 2 * mp * cp * q.dtype.itemsize
+
+    if kv_bytes <= _FULLKV_VMEM_BYTES:
+        kernel = functools.partial(
+            _flash_kernel_fullkv, block_k=block_k, kv_len=kv_len, scale=scale
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bh, np_, cp), q.dtype),
+            grid=(bh, np_ // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, cp), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mp, cp), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mp, cp), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, cp), lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(q, k, v)
+
     grid = (bh, np_ // block_q, num_kb)
     kernel = functools.partial(
         _flash_kernel, block_k=block_k, kv_len=kv_len, scale=scale, num_kb=num_kb
