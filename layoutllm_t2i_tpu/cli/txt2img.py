@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--presence_penalty", type=float, default=0.0)
     p.add_argument("--frequency_penalty", type=float, default=0.0)
     # offline modes
+    p.add_argument("--clip_ckpt", type=str, default=None,
+                   help="full CLIPModel .pth for policy text features "
+                        "(projected get_text_features, exact reference parity); "
+                        "falls back to the pipeline text encoder's pooled output")
     p.add_argument("--layout_cache", type=str, default=None,
                    help="JSON caption->layout cache; replaces the LLM call")
     p.add_argument("--layout", type=str, default=None,
@@ -104,8 +108,23 @@ def plan_layout(args):
 
 
 def _caption_features(texts, args):
-    """Pooled CLIP text features for policy scoring (falls back to the
-    pipeline text encoder; the reference uses CLIPModel.get_text_features)."""
+    """CLIP text features for policy scoring. With --clip_ckpt this is the
+    projected get_text_features (reference txt2img.py:454-457); otherwise the
+    pipeline text encoder's pooled output (same dim, unprojected)."""
+    if getattr(args, "clip_ckpt", None):
+        import jax.numpy as jnp
+        import torch
+
+        from ..checkpoint.convert import nest_state_dict
+        from ..models.clip_text import CLIPTextConfig, clip_text_features
+
+        sd = torch.load(args.clip_ckpt, map_location="cpu", weights_only=False)
+        tree = nest_state_dict(sd)
+        params = dict(tree["text_model"])
+        params["text_projection"] = tree["text_projection"]
+        pipe = _get_pipe(args)
+        ids = pipe.models.tokenizer(texts)
+        return np.asarray(clip_text_features(params, CLIPTextConfig(), jnp.asarray(ids)))
     pipe = _get_pipe(args)
     return np.asarray(pipe.encode_pooled(texts))
 
