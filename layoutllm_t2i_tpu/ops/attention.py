@@ -62,21 +62,25 @@ def multi_head_attention(q, k, v, num_heads: int, mask=None, impl: str = "auto")
         )
         impl = "flash" if use_flash else "xla"
 
-    qh = q.reshape(b, n, num_heads, c).transpose(0, 2, 1, 3)  # B,H,N,C
-    kh = k.reshape(b, m, num_heads, c).transpose(0, 2, 1, 3)
-    vh = v.reshape(b, m, num_heads, c).transpose(0, 2, 1, 3)
-
     if impl == "flash":
         from .pallas.flash_attention import flash_attention
 
+        qh = q.reshape(b, n, num_heads, c).transpose(0, 2, 1, 3)  # B,H,N,C
+        kh = k.reshape(b, m, num_heads, c).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, m, num_heads, c).transpose(0, 2, 1, 3)
         out = flash_attention(qh, kh, vh, scale=scale)
-    else:
-        sim = jnp.einsum("bhnc,bhmc->bhnm", qh, kh, preferred_element_type=jnp.float32)
-        sim = sim * scale
-        if mask is not None:
-            key_mask = mask.astype(bool)[:, None, None, :]
-            sim = jnp.where(key_mask, sim, _NEG_INF)
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhnm,bhmc->bhnc", attn, vh)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, hc)
 
-    return out.transpose(0, 2, 1, 3).reshape(b, n, hc)
+    # head-split via einsum over the packed layout — XLA folds the head
+    # transposes into the matmuls instead of materializing copies
+    qh = q.reshape(b, n, num_heads, c)
+    kh = k.reshape(b, m, num_heads, c)
+    vh = v.reshape(b, m, num_heads, c)
+    sim = jnp.einsum("bnhc,bmhc->bhnm", qh, kh, preferred_element_type=jnp.float32)
+    sim = sim * scale
+    if mask is not None:
+        key_mask = mask.astype(bool)[:, None, None, :]
+        sim = jnp.where(key_mask, sim, _NEG_INF)
+    attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhnm,bmhc->bnhc", attn, vh)
+    return out.reshape(b, n, hc)

@@ -173,18 +173,22 @@ def flash_attention(q, k, v, scale: float, block_q: int = 256, block_k: int = 51
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    cp = _round_up(max(c, 128), 128)
+    # No column padding: Mosaic pads sub-128 minor dims inside VMEM tiles for
+    # free, while an explicit jnp.pad materializes 128/c-times the HBM
+    # traffic (for SD's d_head=40 that tripled attention bandwidth).
     block_q = min(block_q, _round_up(n, 128))
     block_k = min(block_k, _round_up(m, 128))
     np_ = _round_up(n, block_q)
     mp = _round_up(m, block_k)
 
-    def pad_to(x, rows, cols):
-        return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, cols - x.shape[2])))
+    def pad_rows(x, rows):
+        if rows == x.shape[1]:
+            return x
+        return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, 0)))
 
-    qf = pad_to(q.reshape(b * h, n, c), np_, cp)
-    kf = pad_to(k.reshape(b * h, m, c), mp, cp)
-    vf = pad_to(v.reshape(b * h, m, c), mp, cp)
+    qf = pad_rows(q.reshape(b * h, n, c), np_)
+    kf = pad_rows(k.reshape(b * h, m, c), mp)
+    vf = pad_rows(v.reshape(b * h, m, c), mp)
     # kv_len for masking is the true m; padded key rows get -inf scores.
     out = _flash_bh(qf, kf, vf, scale, block_q, block_k, m, interpret)
-    return out[:, :n, :c].reshape(b, h, n, c)
+    return out[:, :n, :].reshape(b, h, n, c)
