@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import nn
-from ..ops.attention import multi_head_attention
+from ..ops.attention import attention_with_projections, multi_head_attention
 from . import initializers as init
 
 
@@ -28,11 +28,7 @@ from . import initializers as init
 
 
 def cross_attention(p, x, key, value, heads: int, mask=None, impl: str = "auto"):
-    q = nn.linear(p["to_q"], x)
-    k = nn.linear(p["to_k"], key)
-    v = nn.linear(p["to_v"], value)
-    out = multi_head_attention(q, k, v, heads, mask=mask, impl=impl)
-    return nn.linear(p["to_out"]["0"], out)
+    return attention_with_projections(p, x, key, value, heads, mask=mask, impl=impl)
 
 
 def self_attention(p, x, heads: int, impl: str = "auto"):

@@ -40,6 +40,55 @@ def _flash_enabled() -> bool:
     return os.environ.get("LLT2I_DISABLE_FLASH", "0") != "1"
 
 
+def attention_with_projections(p, x, key, value, num_heads: int, mask=None,
+                               impl: str = "auto"):
+    """Full attention block given the projection params: q/k/v projections,
+    core attention, output projection.
+
+    On the flash path the head split/merge is folded into the projection
+    einsums (``bnd,dhc->bhnc`` in, ``bhnc,hcd->bnd`` out) so no transposed
+    copy of q/k/v or the output is ever materialized in HBM.
+
+    p: {'to_q','to_k','to_v','to_out':{'0'}} in torch-name layout.
+    """
+    b, n, _ = x.shape
+    m = key.shape[1]
+    inner = p["to_q"]["weight"].shape[1]
+    c = inner // num_heads
+    scale = c ** -0.5
+
+    if impl == "auto":
+        use_flash = (
+            _on_tpu() and _flash_enabled() and mask is None
+            and n >= _FLASH_MIN_Q_LEN and m >= 128
+        )
+        impl = "flash" if use_flash else "xla"
+
+    if impl == "flash":
+        from .pallas.flash_attention import flash_attention
+
+        wq = p["to_q"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
+        wk = p["to_k"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
+        wv = p["to_v"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
+        qh = jnp.einsum("bnd,dhc->bhnc", x, wq)
+        kh = jnp.einsum("bmd,dhc->bhmc", key, wk)
+        vh = jnp.einsum("bmd,dhc->bhmc", value, wv)
+        out = flash_attention(qh, kh, vh, scale=scale)
+        po = p["to_out"]["0"]
+        wo = po["weight"].astype(x.dtype).reshape(num_heads, c, -1)
+        y = jnp.einsum("bhnc,hcd->bnd", out, wo)
+        return y + po["bias"].astype(x.dtype)
+
+    def lin(pp, t):
+        return jnp.dot(t, pp["weight"].astype(t.dtype))
+
+    out = multi_head_attention(lin(p["to_q"], x), lin(p["to_k"], key),
+                               lin(p["to_v"], value), num_heads, mask=mask,
+                               impl="xla")
+    po = p["to_out"]["0"]
+    return jnp.dot(out, po["weight"].astype(x.dtype)) + po["bias"].astype(x.dtype)
+
+
 def multi_head_attention(q, k, v, num_heads: int, mask=None, impl: str = "auto"):
     """Scaled dot-product attention over packed heads.
 
