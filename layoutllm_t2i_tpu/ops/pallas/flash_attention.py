@@ -38,9 +38,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale          # (BQ, C)
-    k = k_ref[0].astype(jnp.float32)                  # (BK, C)
-    v = v_ref[0].astype(jnp.float32)
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (BQ, C)
+    k = k_ref[0]                                      # (BK, C)
+    v = v_ref[0]
     block_q = q.shape[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -54,8 +54,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    # PV matmul in the input dtype (bf16): halves the MXU operand traffic;
+    # the accumulator stays f32 via preferred_element_type
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p.astype(v_ref.dtype), v.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
@@ -69,7 +72,7 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
     """Single-program variant: full K/V resident in VMEM, fori over k-blocks.
     Faster than the streaming grid when K/V fit (fewer grid iterations, no
     scratch round-trips); the wrapper picks it by VMEM footprint."""
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     block_q, cp = q.shape
     mp = k_ref.shape[1]
     num_kb = mp // block_k
@@ -80,8 +83,8 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
 
     def body(j, carry):
         m_i, l_i, acc = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -91,7 +94,8 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
         alpha = jnp.exp(m_i - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v_ref.dtype), v.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
     m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
