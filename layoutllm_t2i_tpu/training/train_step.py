@@ -67,6 +67,10 @@ class TrainStepConfig:
     # EMA of params (reference LitEma / trainer update_ema; disabled there by
     # default and here when None)
     ema_rate: Optional[float] = None
+    # rematerialize the UNet forward in backward (jax.checkpoint): trades
+    # ~30% step FLOPs for activation memory — required for 512^2 batches on
+    # 16GB chips (the reference's use_checkpoint flag, openaimodel.py:206-209)
+    remat: bool = False
 
 
 def make_optimizer(cfg: TrainStepConfig, params):
@@ -100,6 +104,18 @@ def init_train_state(cfg: TrainStepConfig, params) -> TrainState:
 def make_loss_fn(cfg: TrainStepConfig):
     schedule = cfg.schedule
 
+    def unet_fwd(params, unet_cfg, *args):
+        # training runs the XLA attention path: the Pallas flash kernel is
+        # forward-only (no VJP yet — round-2 item); with remat the attention
+        # probabilities are recomputed in backward rather than stored
+        return unet_apply(params, unet_cfg, *args, attn_impl="xla")
+
+    if cfg.remat:
+        unet_fwd = jax.checkpoint(
+            unet_fwd, static_argnums=(1,),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+
     def loss_fn(params, batch, rng):
         """batch: z (B,h,w,4) clean latents, context (B,77,768),
         boxes/masks/phrase_embeddings, relations."""
@@ -120,8 +136,8 @@ def make_loss_fn(cfg: TrainStepConfig):
         masks = batch["masks"] * keep
         pos = batch["phrase_embeddings"] * keep
 
-        eps = unet_apply(params, cfg.unet_cfg, x_noisy, t, batch["context"],
-                         boxes, masks, pos, batch["relations"])
+        eps = unet_fwd(params, cfg.unet_cfg, x_noisy, t, batch["context"],
+                       boxes, masks, pos, batch["relations"])
         return jnp.mean((eps - noise) ** 2)
 
     return loss_fn
