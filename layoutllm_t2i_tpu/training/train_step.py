@@ -103,6 +103,7 @@ def init_train_state(cfg: TrainStepConfig, params) -> TrainState:
 
 def make_loss_fn(cfg: TrainStepConfig):
     schedule = cfg.schedule
+    predicate = TRAINABLE_MODES[cfg.trainable_mode]
 
     def unet_fwd(params, unet_cfg, *args):
         # training runs the XLA attention path: the Pallas flash kernel is
@@ -119,6 +120,11 @@ def make_loss_fn(cfg: TrainStepConfig):
     def loss_fn(params, batch, rng):
         """batch: z (B,h,w,4) clean latents, context (B,77,768),
         boxes/masks/phrase_embeddings, relations."""
+        # prune gradient computation for frozen subtrees (~20% step time)
+        mask = trainable_mask(params, predicate)
+        params = jax.tree.map(
+            lambda leaf, tr: leaf if tr else jax.lax.stop_gradient(leaf),
+            params, mask)
         b = batch["z"].shape[0]
         r_t, r_noise, r_drop = jax.random.split(rng, 3)
         # t ~ floor(U^1 * 1000), 1000 -> 999 (trainer_combined_layout.py:379-381)
