@@ -34,7 +34,10 @@ from ..ops.schedules import DDPMSchedule, make_ddpm_schedule
 from ..parallel.mesh import batch_sharding, is_primary, make_mesh, replicated
 from ..pipeline.scene_graph import relation_texts_for_training
 from ..utils.logging import Logger, MetricsWriter, maybe_tensorboard
-from .train_step import TrainStepConfig, TrainState, init_train_state, make_train_step
+from .train_step import (
+    TrainStepConfig, TrainState, init_partitioned_state,
+    make_partitioned_train_step,
+)
 
 
 @dataclasses.dataclass
@@ -101,7 +104,12 @@ class DiffusionTrainer:
             total_steps=config.total_iters,
             lr_schedule=config.scheduler_type,
         )
-        self.state = init_train_state(self.step_cfg, m["unet_params"])
+        # partitioned state: only the trainable subtree (rela_fuse / fuser+
+        # position_net) lives in the donated optimizer state; the frozen bulk
+        # of the UNet is a read-only input
+        self.state, self.frozen_params = init_partitioned_state(
+            self.step_cfg, m["unet_params"]
+        )
         self.starting_iter = 0
         if resume_ckpt is not None:
             loaded, _ = load_checkpoint(resume_ckpt)
@@ -112,10 +120,13 @@ class DiffusionTrainer:
         repl = replicated(self.mesh)
         data = batch_sharding(self.mesh)
         self.state = jax.tree.map(lambda x: jax.device_put(x, repl), self.state)
+        self.frozen_params = jax.tree.map(
+            lambda x: jax.device_put(x, repl), self.frozen_params
+        )
         self._data_sharding = data
         self._train_step = jax.jit(
-            make_train_step(self.step_cfg, self.state.params),
-            in_shardings=(repl, data, repl),
+            make_partitioned_train_step(self.step_cfg),
+            in_shardings=(repl, repl, data, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
@@ -212,7 +223,8 @@ class DiffusionTrainer:
             self.rng, r_enc, r_step = jax.random.split(self.rng, 3)
             host_batch = next(it)
             batch = self.prepare_batch(host_batch, r_enc)
-            self.state, loss = self._train_step(self.state, batch, r_step)
+            self.state, loss = self._train_step(self.state, self.frozen_params,
+                                                batch, r_step)
 
             if is_primary() and (iter_idx % cfg.log_every == 0):
                 loss_v = float(loss)
