@@ -87,9 +87,17 @@ def main():
     img = pipe.sample_latents(cond, noise)
     jax.block_until_ready(img)
 
+    # vary inputs per iteration: repeated byte-identical remote executions
+    # can be served bogus-fast by the tunnel layer
+    noises = [
+        jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(7), i),
+                          noise.shape, noise.dtype)
+        for i in range(args.iters)
+    ]
+    jax.block_until_ready(noises)
     t0 = time.perf_counter()
     for i in range(args.iters):
-        img = pipe.sample_latents(cond, noise)
+        img = pipe.sample_latents(cond, noises[i])
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
 
