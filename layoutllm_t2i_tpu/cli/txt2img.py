@@ -160,6 +160,28 @@ def main(argv=None):
 
     os.makedirs(args.folder, exist_ok=True)
     safe = re.sub(r"[^\w\s-]", "", args.prompt)[:100]
+
+    import jax
+
+    n_dev = jax.device_count()
+    total = args.num_per_prompt * args.batch_size
+    if n_dev > 1 and total % n_dev == 0:
+        # shard the generation sweep over the device mesh (num_per_prompt is
+        # the reference's DP axis, SURVEY.md §7)
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        imgs = pipe.generate_sharded(
+            mesh, [args.prompt] * total, [(boxes_ltrb, categories)] * total,
+            relation_texts=[rel] * total, seed=args.seed,
+        )
+        for j, img in enumerate(images_to_uint8(imgs)):
+            sample = draw_boxes_ltrb(img, boxes_ltrb, categories)
+            path = os.path.join(args.folder, f"{safe}_{j}.jpg")
+            sample.save(path)
+            print(f"saved {path}")
+        return
+
     for i in range(args.num_per_prompt):
         imgs = pipe.generate(
             [args.prompt] * args.batch_size,
