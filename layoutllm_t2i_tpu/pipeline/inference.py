@@ -217,26 +217,39 @@ class InferencePipeline:
         context = self.encode_text(prompts)
         uc = self.encode_text([""] * b)
 
+        # one batched CLIP call for all phrases + relation texts across the
+        # batch (per-sample calls pay one device dispatch each)
+        flat_texts: List[str] = []
+        spans = []
+        for i, (_bxs, phrases) in enumerate(layouts):
+            if phrase_embeddings is None and len(phrases):
+                spans.append(("phrase", i, len(flat_texts), len(phrases)))
+                flat_texts.extend(list(phrases))
+        if relation_embeddings is None and relation_texts is not None:
+            for i, texts in enumerate(relation_texts):
+                if texts:
+                    texts = list(texts)[: m.max_relas]
+                    spans.append(("rel", i, len(flat_texts), len(texts)))
+                    flat_texts.extend(texts)
+        flat_emb = (np.asarray(self.encode_pooled(flat_texts))
+                    if flat_texts else np.zeros((0, 768), np.float32))
+
         boxes = np.zeros((b, m.max_objs, 4), dtype=np.float32)
         masks = np.zeros((b, m.max_objs), dtype=np.float32)
         pos = np.zeros((b, m.max_objs, 768), dtype=np.float32)
-        for i, (bxs, phrases) in enumerate(layouts):
-            if phrase_embeddings is not None:
-                emb = phrase_embeddings[i]
-            elif len(phrases):
-                emb = np.asarray(self.encode_pooled(list(phrases)))
-            else:
-                emb = np.zeros((0, 768), np.float32)
-            boxes[i], masks[i], pos[i] = pack_layout(bxs, emb, m.max_objs)
-
         rel = np.zeros((b, m.max_relas, 768), dtype=np.float32)
+        per_sample_phrase = {i: np.zeros((0, 768), np.float32) for i in range(b)}
+        for kind, i, off, n in spans:
+            if kind == "phrase":
+                per_sample_phrase[i] = flat_emb[off:off + n]
+            else:
+                rel[i, :n] = flat_emb[off:off + n]
+        for i, (bxs, _phrases) in enumerate(layouts):
+            emb = (phrase_embeddings[i] if phrase_embeddings is not None
+                   else per_sample_phrase[i])
+            boxes[i], masks[i], pos[i] = pack_layout(bxs, emb, m.max_objs)
         if relation_embeddings is not None:
             rel = np.asarray(relation_embeddings, dtype=np.float32)
-        elif relation_texts is not None:
-            for i, texts in enumerate(relation_texts):
-                if texts:
-                    texts = texts[: m.max_relas]
-                    rel[i, : len(texts)] = np.asarray(self.encode_pooled(texts))
 
         return {
             "context": context,
