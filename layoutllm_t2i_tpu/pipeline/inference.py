@@ -175,16 +175,28 @@ class InferencePipeline:
     def _encode_fn(self, clip_params, input_ids):
         return clip_text_apply(clip_params, self.models.clip_cfg, input_ids)
 
-    def encode_text(self, texts: List[str]) -> np.ndarray:
+    def _encode_bucketed(self, texts: List[str]):
+        """Tokenize and encode with the batch padded to a power-of-two bucket
+        so ragged phrase counts don't retrigger compilation."""
         ids = self.models.tokenizer(texts)
-        hidden, _ = self._encode_jit(self.models.clip_params, jnp.asarray(ids))
+        n = ids.shape[0]
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if bucket != n:
+            pad = np.tile(ids[-1:], (bucket - n, 1))
+            ids = np.concatenate([ids, pad], axis=0)
+        hidden, pooled = self._encode_jit(self.models.clip_params, jnp.asarray(ids))
+        return hidden[:n], pooled[:n]
+
+    def encode_text(self, texts: List[str]) -> np.ndarray:
+        hidden, _ = self._encode_bucketed(texts)
         return hidden
 
     def encode_pooled(self, texts: List[str]) -> np.ndarray:
         """Pooled (eot) embedding per text — used for per-phrase grounding
         tokens (encode_one_token, modules.py:176-184) and relation triplets."""
-        ids = self.models.tokenizer(texts)
-        _, pooled = self._encode_jit(self.models.clip_params, jnp.asarray(ids))
+        _, pooled = self._encode_bucketed(texts)
         return pooled
 
     # -- sampling ---------------------------------------------------------
