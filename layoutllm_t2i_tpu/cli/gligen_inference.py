@@ -1,13 +1,17 @@
 """Multi-modality GLIGEN inference CLI (gligen_inference.py equivalent).
 
-Covers the upstream demo paths: box+text generation (default), box+text
-inpainting (--inpaint_image + GT boxes keep-masked), and condition-map
-modalities via a grounding downsampler checkpoint. Runs offline with random
-weights via --small for smoke.
+Covers the upstream demo paths (reference gligen_inference.py:199-447):
+box+text generation (default), box+text inpainting (--inpaint_image + GT
+boxes keep-masked), condition-map modalities (--modality canny/hed/depth/
+normal/sem with --map_path: ConvNeXt grounding tokens + downsampler extra
+input channels), and person keypoints (--modality keypoint --keypoints).
+Runs offline with random weights via --small for smoke.
 
 Run: python -m layoutllm_t2i_tpu.cli.gligen_inference \
        --prompt "a dog" --layout "dog:[0.2,0.2,0.5,0.5]" [--ckpt c.pth] \
-       [--inpaint_image img.png] [--no_relation]
+       [--inpaint_image img.png] [--no_relation] \
+       [--modality canny --map_path edge.png] \
+       [--modality keypoint --keypoints "0.5,0.2;0.52,0.18;..."]
 """
 from __future__ import annotations
 
@@ -28,8 +32,9 @@ from ..utils.boxes import draw_boxes_ltrb
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--prompt", type=str, required=True)
-    p.add_argument("--layout", type=str, required=True,
-                   help="'label:[x,y,w,h];...' normalized xywh")
+    p.add_argument("--layout", type=str, default=None,
+                   help="'label:[x,y,w,h];...' normalized xywh "
+                        "(required for box_text)")
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--folder", type=str, default="gligen_samples")
     p.add_argument("--batch_size", type=int, default=1)
@@ -42,14 +47,50 @@ def parse_args(argv=None):
                    help="source image; layout boxes become the inpaint region")
     p.add_argument("--no_relation", action="store_true",
                    help="vanilla GLIGEN UNet (no relation-aware layer)")
+    p.add_argument("--modality", default="box_text",
+                   choices=["box_text", "canny", "hed", "depth", "normal",
+                            "sem", "keypoint"])
+    p.add_argument("--map_path", type=str, default=None,
+                   help="condition-map image for the map modalities")
+    p.add_argument("--keypoints", type=str, default=None,
+                   help="'x,y;x,y;...' normalized, 17 per person, persons "
+                        "separated by '|'")
     p.add_argument("--small", action="store_true")
     return p.parse_args(argv)
 
 
+def _parse_keypoints(spec: str, max_persons: int):
+    """'x,y;...|x,y;...' -> points (P*17, 2), masks (P*17,)."""
+    points = np.zeros((max_persons * 17, 2), np.float32)
+    masks = np.zeros((max_persons * 17,), np.float32)
+    for pi, person in enumerate(spec.split("|")[:max_persons]):
+        for ki, xy in enumerate(person.split(";")[:17]):
+            try:
+                x, y = (float(v) for v in xy.split(","))
+            except ValueError:
+                raise SystemExit(
+                    f"--keypoints: cannot parse '{xy}' — expected 'x,y' pairs "
+                    "separated by ';' (17 per person, persons by '|')")
+            points[pi * 17 + ki] = [x, y]
+            masks[pi * 17 + ki] = 1.0
+    return points, masks
+
+
 def main(argv=None):
     args = parse_args(argv)
-    cats, boxes_xywh = extract_prediction(args.layout)
-    boxes_ltrb = [convert_xywh_to_ltrb(b) for b in boxes_xywh]
+    box_mode = args.modality == "box_text"
+    # validate modality inputs up front — model construction takes minutes
+    if box_mode:
+        assert args.layout, "--layout is required for box_text"
+        cats, boxes_xywh = extract_prediction(args.layout)
+        boxes_ltrb = [convert_xywh_to_ltrb(b) for b in boxes_xywh]
+    else:
+        cats, boxes_ltrb = [], []
+        if args.modality == "keypoint":
+            assert args.keypoints, "--keypoints is required for keypoint"
+            _parse_keypoints(args.keypoints, 8)  # fail fast on malformed input
+        else:
+            assert args.map_path, f"--map_path is required for {args.modality}"
 
     if args.ckpt:
         models = load_models_from_gligen_ckpt(args.ckpt)
@@ -60,6 +101,14 @@ def main(argv=None):
 
         models.unet_cfg = dataclasses.replace(models.unet_cfg,
                                               use_relation_attention=False)
+    if not box_mode:
+        from ..pipeline.loaders import adapt_models_for_modality
+
+        models = adapt_models_for_modality(models, args.modality,
+                                           seed=args.seed)
+        # grounding stays on for all steps: the SD first-conv restore cannot
+        # apply over the extra downsampler channels
+        args.alpha = [1.0, 0.0, 0.0]
 
     steps = 250 if args.no_plms else 50
     if args.small:
@@ -72,7 +121,7 @@ def main(argv=None):
     prompts = [args.prompt] * args.batch_size
     layouts = [(boxes_ltrb, cats)] * args.batch_size
     rel = None
-    if not args.no_relation:
+    if not args.no_relation and box_mode:
         from ..pipeline.scene_graph import relation_texts_for_inference
 
         rel = [relation_texts_for_inference(args.prompt, models.max_relas)] * args.batch_size
@@ -80,6 +129,35 @@ def main(argv=None):
     cond = pipe.build_cond(prompts, layouts, rel)
     if args.negative_prompt:
         cond["uc_context"] = pipe.encode_text([args.negative_prompt] * args.batch_size)
+
+    if args.modality in ("canny", "hed", "depth", "normal", "sem"):
+        from PIL import Image
+
+        from ..models.grounding_extras import grounding_downsampler
+
+        assert args.map_path, f"--map_path is required for {args.modality}"
+        m_img = Image.open(args.map_path).convert("RGB")
+        cmap = np.asarray(m_img, np.float32)[None] / 255.0
+        cmap = jnp.asarray(np.tile(cmap, (args.batch_size, 1, 1, 1)))
+        cond["extra_grounding"] = {
+            "cond_map": cmap,
+            "map_mask": jnp.ones((args.batch_size,), jnp.float32),
+        }
+        # extra UNet input channels, computed once outside the sampling scan
+        # (the reference recomputes downsample_net per step, openaimodel.py:433)
+        extra = grounding_downsampler(
+            models.unet_params["downsample_net"], cmap,
+            resize_input=4 * models.unet_cfg.image_size)
+        cond["grounding_extra"] = extra.astype(jnp.float32)
+    elif args.modality == "keypoint":
+        assert args.keypoints, "--keypoints is required for keypoint"
+        pts, masks = _parse_keypoints(args.keypoints,
+                                      models.unet_cfg.max_persons_per_image)
+        cond["boxes"] = jnp.tile(jnp.asarray(pts)[None], (args.batch_size, 1, 1))
+        cond["masks"] = jnp.tile(jnp.asarray(masks)[None], (args.batch_size, 1))
+        cond["phrase_embeddings"] = jnp.zeros(
+            (args.batch_size, pts.shape[0], models.unet_cfg.grounding_in_dim),
+            jnp.float32)
 
     if args.inpaint_image:
         from PIL import Image

@@ -36,7 +36,41 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="random data (smoke/benchmark runs)")
     p.add_argument("--multihost", action="store_true")
+    p.add_argument("--enable_previews", action="store_true",
+                   help="PLMS sample grid at every save "
+                        "(trainer_combined_layout.py:457-521)")
+    p.add_argument("--preview_steps", type=int, default=50)
+    p.add_argument("--export_reference_ckpt", action="store_true",
+                   help="also write the reference 4-module .pth at every save")
+    p.add_argument("--small", action="store_true",
+                   help="tiny random models (CPU smoke)")
     return p.parse_args(argv)
+
+
+def _small_models():
+    import jax
+
+    from ..models.clip_text import CLIPTextConfig, init_clip_text_params
+    from ..models.clip_tokenizer import HashTokenizer
+    from ..models.unet import UNetConfig, init_unet_params
+    from ..models.vae import VAEConfig, init_vae_params
+    from ..ops.schedules import make_ddpm_schedule
+
+    unet_cfg = UNetConfig(image_size=8, model_channels=32, num_res_blocks=1,
+                          attention_resolutions=(2, 1), channel_mult=(1, 2),
+                          num_heads=2, context_dim=32, grounding_in_dim=32,
+                          grounding_out_dim=32)
+    vae_cfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    clip_cfg = CLIPTextConfig(num_layers=1, hidden_size=32, num_heads=2,
+                              intermediate_size=64, vocab_size=512)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return dict(
+        unet_cfg=unet_cfg, unet_params=init_unet_params(k1, unet_cfg),
+        vae_cfg=vae_cfg, vae_params=init_vae_params(k2, vae_cfg),
+        clip_cfg=clip_cfg, clip_params=init_clip_text_params(k3, clip_cfg),
+        schedule=make_ddpm_schedule("linear", 1000, 0.00085, 0.012),
+        tokenizer=HashTokenizer(max_length=8, vocab_size=512),
+    )
 
 
 def main(argv=None):
@@ -53,7 +87,14 @@ def main(argv=None):
         warmup_steps=args.warmup_steps, scheduler_type=args.scheduler_type,
         trainable_mode=args.trainable_mode, max_boxes=args.max_boxes,
         max_relations=args.max_relations, seed=args.seed, ckpt_path=args.ckpt_path,
+        disable_inference_in_training=not args.enable_previews,
+        preview_steps=args.preview_steps,
+        export_reference_ckpt=args.export_reference_ckpt,
     )
+
+    models = _small_models() if args.small else None
+    if args.small:
+        args.image_size = 16  # f2 VAE: latent 8 matches the small UNet
 
     if args.synthetic or not args.coco_root:
         from ..data.synthetic import synthetic_layout_batches
@@ -66,7 +107,7 @@ def main(argv=None):
         dataset = coco_layout_batches(args.coco_root, cfg.batch_size,
                                       args.image_size, cfg.max_boxes)
 
-    DiffusionTrainer(cfg, dataset).train()
+    DiffusionTrainer(cfg, dataset, models=models).train()
 
 
 if __name__ == "__main__":

@@ -117,11 +117,14 @@ def main(argv=None):
     pipe = InferencePipeline(models, steps=50, sampler="plms", guidance_scale=7.5,
                              alpha_type=(0.3, 0.0, 0.7))
 
-    def generate_fn(captions, layouts):
+    def generate_fn(captions, layouts, seed=None):
         lay = [([convert_xywh_to_ltrb(b) for b in boxes], labels)
                for boxes, labels in layouts]
         rel = [relation_texts_for_inference(c, models.max_relas) for c in captions]
-        return pipe.generate(captions, lay, relation_texts=rel, seed=args.seed)
+        # the trainer passes a fresh seed per rollout batch (reference draws
+        # fresh noise per sample, interface.py:478-551)
+        return pipe.generate(captions, lay, relation_texts=rel,
+                             seed=args.seed if seed is None else seed)
 
     # LLM
     if args.layout_cache:

@@ -1,8 +1,10 @@
 """Caption-overlap metrics: BLEU-1..4, ROUGE-L, CIDEr-D.
 
 Reference capability: GLIGEN/clip_score.py get_all_metrics (via
-pycocoevalcap). Re-implemented from the metric definitions in pure Python —
-METEOR and SPICE require external models/Java and are intentionally omitted.
+pycocoevalcap). Re-implemented from the metric definitions in pure Python.
+METEOR here runs the exact+stem matcher stages (the Java original adds
+WordNet synonym/paraphrase tables, unavailable offline); SPICE is scored as
+tuple-F1 over our scene-graph parser ("spice_lite").
 
 Inputs are pre-tokenized lowercase strings; candidates: list[str],
 references: list[list[str]].
@@ -135,4 +137,190 @@ def get_all_metrics(candidates: List[str], references: List[List[str]]) -> Dict[
         "bleu1": b[0], "bleu2": b[1], "bleu3": b[2], "bleu4": b[3],
         "rouge_l": rouge_l(candidates, references),
         "cider_d": cider_d(candidates, references),
+        "meteor": meteor(candidates, references),
+        "spice_lite": spice_lite(candidates, references),
     }
+
+
+# ---------------------------------------------------------------------------
+# METEOR (exact + Porter-stem matching stages)
+#
+# The reference reaches METEOR through pycocoevalcap's Java jar
+# (clip_score.py:243-263), which adds WordNet-synonym and paraphrase-table
+# stages; those tables are external models unavailable offline, so this is
+# the standard METEOR formulation (alpha=0.9, beta=3, gamma=0.5) with the
+# exact and stem modules only — documented as such.
+
+
+def _porter_stem(word: str) -> str:
+    """Compact Porter stemmer (the published 1980 algorithm, steps 1a-5b)."""
+    if len(word) <= 2:
+        return word
+    w = word.lower()
+
+    vowels = "aeiou"
+
+    def is_cons(s, i):
+        c = s[i]
+        if c in vowels:
+            return False
+        if c == "y":
+            return i == 0 or not is_cons(s, i - 1)
+        return True
+
+    def measure(s):
+        form = "".join("c" if is_cons(s, i) else "v" for i in range(len(s)))
+        return form.count("vc", 0, len(form)) if "vc" not in form else sum(
+            1 for i in range(len(form) - 1) if form[i] == "v" and form[i + 1] == "c")
+
+    def has_vowel(s):
+        return any(not is_cons(s, i) for i in range(len(s)))
+
+    def ends_double_cons(s):
+        return len(s) >= 2 and s[-1] == s[-2] and is_cons(s, len(s) - 1)
+
+    def cvc(s):
+        return (len(s) >= 3 and is_cons(s, len(s) - 3)
+                and not is_cons(s, len(s) - 2) and is_cons(s, len(s) - 1)
+                and s[-1] not in "wxy")
+
+    # step 1a
+    for suf, rep in (("sses", "ss"), ("ies", "i"), ("ss", "ss"), ("s", "")):
+        if w.endswith(suf):
+            w = w[: len(w) - len(suf)] + rep
+            break
+    # step 1b
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif (w.endswith("ed") and has_vowel(w[:-2])) or \
+         (w.endswith("ing") and has_vowel(w[:-3])):
+        w = w[:-2] if w.endswith("ed") else w[:-3]
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif measure(w) == 1 and cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2/3 (suffix map, m > 0)
+    for suf, rep in (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+                     ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+                     ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+                     ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+                     ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+                     ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+                     ("iviti", "ive"), ("biliti", "ble"), ("icate", "ic"),
+                     ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+                     ("ical", "ic"), ("ful", ""), ("ness", "")):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if measure(stem) > 0:
+                w = stem + rep
+            break
+    # step 4 (m > 1)
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous",
+                "ive", "ize"):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if measure(stem) > 1:
+                w = stem
+            break
+    else:
+        if w.endswith("ion") and measure(w[:-3]) > 1 and w[-4] in "st":
+            w = w[:-3]
+    # step 5
+    if w.endswith("e"):
+        stem = w[:-1]
+        if measure(stem) > 1 or (measure(stem) == 1 and not cvc(stem)):
+            w = stem
+    if ends_double_cons(w) and w.endswith("l") and measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+def _meteor_align(cand: List[str], ref: List[str]):
+    """Greedy two-stage alignment (exact, then stem); returns matched index
+    pairs (ci, ri)."""
+    matched_c = [False] * len(cand)
+    matched_r = [False] * len(ref)
+    pairs = []
+    for key_fn in (lambda t: t, _porter_stem):
+        ref_keys = [key_fn(t) for t in ref]
+        for ci, tok in enumerate(cand):
+            if matched_c[ci]:
+                continue
+            k = key_fn(tok)
+            for ri, rk in enumerate(ref_keys):
+                if not matched_r[ri] and k == rk:
+                    matched_c[ci] = matched_r[ri] = True
+                    pairs.append((ci, ri))
+                    break
+    return sorted(pairs)
+
+
+def meteor(candidates: List[str], references: List[List[str]],
+           alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
+    """Corpus METEOR (mean of sentence scores, best reference per sentence)."""
+    scores = []
+    for cand, refs in zip(candidates, references):
+        c = cand.lower().split()
+        best = 0.0
+        for ref in refs:
+            r = ref.lower().split()
+            pairs = _meteor_align(c, r)
+            m = len(pairs)
+            if m == 0 or not c or not r:
+                continue
+            precision = m / len(c)
+            recall = m / len(r)
+            fmean = precision * recall / (alpha * precision + (1 - alpha) * recall)
+            # chunks: maximal runs contiguous in both strings
+            chunks = 1
+            for (c0, r0), (c1, r1) in zip(pairs, pairs[1:]):
+                if c1 != c0 + 1 or r1 != r0 + 1:
+                    chunks += 1
+            penalty = gamma * (chunks / m) ** beta
+            best = max(best, fmean * (1 - penalty))
+        scores.append(best)
+    return sum(scores) / max(len(scores), 1)
+
+
+# ---------------------------------------------------------------------------
+# SPICE-lite: F1 over scene-graph tuples
+#
+# The reference's SPICE uses a Java dependency-parse pipeline
+# (clip_score.py:243-263). This variant extracts (entity,), and
+# (subj, rel, obj) tuples with the same scene-graph parser the relation
+# conditioning uses (pipeline/scene_graph.py) and scores tuple F1 — the SPICE
+# definition over a lighter parser, labeled spice_lite.
+
+
+def _caption_tuples(caption: str):
+    from ..pipeline.scene_graph import parse_triplets
+
+    tokens = caption.lower().split()
+    tuples = {(t,) for t in tokens if len(t) > 2}
+    for trip in parse_triplets(caption):
+        tuples.add(tuple(trip.split()))
+    return tuples
+
+
+def spice_lite(candidates: List[str], references: List[List[str]]) -> float:
+    scores = []
+    for cand, refs in zip(candidates, references):
+        ct = _caption_tuples(cand)
+        rt = set()
+        for ref in refs:
+            rt |= _caption_tuples(ref)
+        if not ct or not rt:
+            scores.append(0.0)
+            continue
+        inter = len(ct & rt)
+        p = inter / len(ct)
+        r = inter / len(rt)
+        scores.append(0.0 if p + r == 0 else 2 * p * r / (p + r))
+    return sum(scores) / max(len(scores), 1)

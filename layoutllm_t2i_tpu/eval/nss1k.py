@@ -1,28 +1,46 @@
 """COCO-NSS1K benchmark runner.
 
 Evaluates layout-grounded generation over the 943-prompt COCO-NSS1K splits
-(Numerical/Spatial/Semantic/Mixed/Null — the JSON files live in the reference
-repo's data/ directory and share the RL-data schema: bbox center-normalized
-xcycwh + label + captions). Layout source is either the ground-truth layout
-(diffusion-only eval) or the planner (policy + LLM / cached layouts).
+(reference README.md:15-22; JSON files in the reference repo's data/
+directory): Numerical 155 / Spatial 200 / Semantic 200 / Mixed 188 / Null
+200. Reports, per split and overall:
 
-Reports mean CLIPScore (and layout mIoU/DocSim vs GT when the planner is
-used); designed to run without network via --layout gt or --layout_cache.
+  * mean CLIPScore (w=2.5 * max(cos, 0), clip_score.py);
+  * with ``--layout planner``: layout mIoU and DocSim of the planned layouts
+    vs the ground-truth ones (same Hungarian-matching math the composite
+    reward uses, reference tools/metrics.py:58-164);
+  * with ``--fid``: FID between generated and ground-truth images — pool3
+    InceptionV3 features when an ``--inception_ckpt`` is supplied
+    (eval/fid.py), else the CLIP vision tower ("clip_fid", labeled as such).
+
+Designed to run without network: --layout gt needs no LLM, --layout planner
+works offline with --layout_cache.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
-from typing import List
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
+
+# split name -> reference data file (five_category.json is their union)
+SPLIT_FILES = {
+    "numerical": "only_numeral.json",
+    "spatial": "sampled_only_spatial.json",
+    "semantic": "sampled_only_semantic.json",
+    "mixed": "mix_relation.json",
+    "null": "sampled_non_relation.json",
+}
 
 
 def load_split(path: str):
     with open(path) as f:
         data = json.load(f)
-    return data["data"]
+    # NSS1K split files are bare lists; RL sample files wrap in {"data": ...}
+    return data["data"] if isinstance(data, dict) else data
 
 
 def gt_layout_ltrb(example):
@@ -32,43 +50,175 @@ def gt_layout_ltrb(example):
     return boxes, list(example["label"])
 
 
-def run_bench(pipe, reward_model, examples: List[dict], batch_size: int = 4,
-              seed: int = 42, max_examples: int | None = None):
+def gt_layout_xywh(example):
+    """Top-left xywh, the coordinate convention the layout metrics use
+    (reward path: center2lefttop, train_rl.py:64-66)."""
+    boxes = []
+    for xc, yc, w, h in example["bbox"]:
+        boxes.append([xc - w / 2, yc - h / 2, w, h])
+    return boxes, list(example["label"])
+
+
+def layout_metrics(reward_model, layouts_pred, layouts_gt):
+    """(miou, docsim) arrays; open-vocab predicted labels snap to the nearest
+    COCO-80 class exactly as the reward does (models/policy.py:84-103)."""
+    from .metrics import compute_docsim, compute_maximum_iou
+
+    pred_ids = reward_model._layout_ids(layouts_pred, close_set=True)
+    gt_ids = reward_model._layout_ids(layouts_gt, close_set=False)
+    return compute_maximum_iou(gt_ids, pred_ids), compute_docsim(gt_ids, pred_ids)
+
+
+def run_bench(
+    pipe,
+    reward_model,
+    examples: List[dict],
+    batch_size: int = 4,
+    seed: int = 42,
+    max_examples: Optional[int] = None,
+    planner_fn: Optional[Callable[[List[str]], list]] = None,
+    collect_images: bool = False,
+) -> Dict:
+    """One split. ``planner_fn(captions) -> [(categories, boxes_xywh), ...]``
+    switches from GT layouts to planned ones (and adds mIoU/DocSim vs GT);
+    ``collect_images`` returns the generated images for FID."""
+    from ..pipeline.inference import convert_xywh_to_ltrb
     from ..pipeline.scene_graph import relation_texts_for_inference
+    from .clip_score import clip_score
 
     if max_examples:
         examples = examples[:max_examples]
-    scores, times = [], []
+    scores, times, imgs_all = [], [], []
+    miou_all, docsim_all = [], []
     for i in range(0, len(examples), batch_size):
         chunk = examples[i : i + batch_size]
         captions = [ex["captions"] for ex in chunk]
-        layouts = [gt_layout_ltrb(ex) for ex in chunk]
-        rel = [relation_texts_for_inference(c, pipe.models.max_relas) for c in captions]
+        if planner_fn is None:
+            layouts = [gt_layout_ltrb(ex) for ex in chunk]
+        else:
+            planned = planner_fn(captions)
+            layouts = [([convert_xywh_to_ltrb(b) for b in boxes], cats)
+                       for cats, boxes in planned]
+            pred_xywh = [(boxes, cats) for cats, boxes in planned]
+            gt_xywh = [gt_layout_xywh(ex) for ex in chunk]
+            # metric pairs only where the planner produced any layout (the
+            # reference drops unparseable generations, train_rl.py:72-76)
+            pairs = [(p, g) for p, g in zip(pred_xywh, gt_xywh) if len(p[0])]
+            if pairs:
+                miou, docsim = layout_metrics(
+                    reward_model, [p for p, _ in pairs], [g for _, g in pairs])
+                miou_all.extend(miou.tolist())
+                docsim_all.extend(docsim.tolist())
+        rel = [relation_texts_for_inference(c, pipe.models.max_relas)
+               for c in captions]
         t0 = time.perf_counter()
         imgs = pipe.generate(captions, layouts, relation_texts=rel, seed=seed + i)
         times.append(time.perf_counter() - t0)
+        if collect_images:
+            imgs_all.append(np.asarray(imgs))
         img_feat = np.asarray(reward_model.image_features(imgs))
         txt_feat = np.asarray(reward_model.text_features(captions))
-        from .clip_score import clip_score
-
         scores.extend(clip_score(img_feat, txt_feat).tolist())
-    return {
+
+    out = {
         "n": len(scores),
         "clip_score_mean": float(np.mean(scores)),
         "sec_per_image": float(np.sum(times) / max(len(scores), 1)),
     }
+    if planner_fn is not None:
+        out["layout_miou"] = float(np.mean(miou_all)) if miou_all else 0.0
+        out["layout_docsim"] = float(np.mean(docsim_all)) if docsim_all else 0.0
+        out["layout_parsed"] = len(miou_all)
+    if collect_images:
+        out["images"] = np.concatenate(imgs_all, axis=0) if imgs_all else None
+    return out
+
+
+def run_all_splits(pipe, reward_model, data_dir: str, **kwargs) -> Dict:
+    """All five NSS1K splits + an n-weighted overall row."""
+    results: Dict[str, Dict] = {}
+    for name, fname in SPLIT_FILES.items():
+        path = os.path.join(data_dir, fname)
+        if not os.path.exists(path):
+            continue
+        results[name] = run_bench(pipe, reward_model, load_split(path), **kwargs)
+        results[name].pop("images", None)
+    if results:
+        total = sum(r["n"] for r in results.values())
+        overall = {"n": total}
+        for key in ("clip_score_mean", "sec_per_image", "layout_miou",
+                    "layout_docsim"):
+            vals = [(r[key], r["n"]) for r in results.values() if key in r]
+            if vals:
+                overall[key] = float(sum(v * n for v, n in vals)
+                                     / sum(n for _, n in vals))
+        results["overall"] = overall
+    return results
+
+
+def load_gt_images(examples: List[dict], img_dir: str, size: int = 512):
+    """GT COCO images resized to the generation size, float [0,1]."""
+    from PIL import Image
+
+    out = []
+    for ex in examples:
+        img = Image.open(os.path.join(img_dir, ex["name"])).convert("RGB")
+        img = img.resize((size, size), Image.BICUBIC)
+        out.append(np.asarray(img, np.float32) / 255.0)
+    return np.stack(out)
+
+
+def compute_fid(gen_images, gt_images, inception_ckpt: Optional[str] = None,
+                reward_model=None, batch: int = 16) -> Dict:
+    """FID between image sets; InceptionV3 pool3 when a checkpoint is given,
+    else CLIP vision features (labeled clip_fid)."""
+    from .fid import (compute_stats, frechet_distance, inception_features,
+                      init_inception_params, load_inception_checkpoint)
+
+    if inception_ckpt:
+        params = load_inception_checkpoint(inception_ckpt)
+        fa = inception_features(params, gen_images, batch)
+        fb = inception_features(params, gt_images, batch)
+        key = "fid"
+    elif reward_model is not None:
+        fa = np.asarray(reward_model.image_features(gen_images))
+        fb = np.asarray(reward_model.image_features(gt_images))
+        key = "clip_fid"
+    else:
+        import jax
+
+        params = init_inception_params(jax.random.PRNGKey(0))
+        fa = inception_features(params, gen_images, batch)
+        fb = inception_features(params, gt_images, batch)
+        key = "fid_random_inception"
+    return {key: frechet_distance(*compute_stats(fa), *compute_stats(fb))}
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data_path", type=str, required=True,
-                    help="e.g. <reference>/data/five_category.json")
+    ap.add_argument("--data_path", type=str, default=None,
+                    help="single split JSON (e.g. five_category.json)")
+    ap.add_argument("--data_dir", type=str, default=None,
+                    help="directory with the five NSS1K split files")
     ap.add_argument("--diff_ckpt", type=str, default=None)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--max_examples", type=int, default=None)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--layout", choices=["gt", "planner"], default="gt")
+    ap.add_argument("--layout_cache", type=str, default=None,
+                    help="offline LLM cache for --layout planner")
+    ap.add_argument("--policy_ckpt", type=str, default=None)
+    ap.add_argument("--cand_data_dir", type=str, default="./data")
+    ap.add_argument("--cand_number", type=int, default=32)
+    ap.add_argument("--shot_number", type=int, default=2)
+    ap.add_argument("--fid", action="store_true")
+    ap.add_argument("--img_dir", type=str, default=None,
+                    help="GT COCO image dir (required for --fid)")
+    ap.add_argument("--inception_ckpt", type=str, default=None)
     args = ap.parse_args(argv)
+    assert args.data_path or args.data_dir, "need --data_path or --data_dir"
 
     import jax
 
@@ -80,11 +230,53 @@ def main(argv=None):
               else random_models(small=args.small))
     pipe = InferencePipeline(models, steps=args.steps, sampler="plms",
                              guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7))
-    reward_args = argparse.Namespace(small=args.small, clip_ckpt=None, aesthetic_ckpt=None)
+    reward_args = argparse.Namespace(small=args.small, clip_ckpt=None,
+                                     aesthetic_ckpt=None)
     reward = build_reward(reward_args)
 
-    examples = load_split(args.data_path)
-    out = run_bench(pipe, reward, examples, args.batch_size, max_examples=args.max_examples)
+    planner_fn = None
+    if args.layout == "planner":
+        from ..data.rl_data import load_rl_data
+        from ..models.policy import init_policy_params, policy_scores
+        from ..pipeline.planner import CachedLayoutLLM, LLMClient, plan_layouts
+
+        llm = (CachedLayoutLLM(args.layout_cache) if args.layout_cache
+               else LLMClient())
+        _, cand_examples, _, _ = load_rl_data(args.cand_data_dir, 1,
+                                              args.cand_number)
+        if args.policy_ckpt:
+            import pickle
+
+            with open(args.policy_ckpt, "rb") as f:
+                policy_params = pickle.load(f)
+        else:
+            policy_params = init_policy_params(jax.random.PRNGKey(0))
+        feats_cand = np.asarray(
+            reward.text_features([d["captions"] for d in cand_examples]))
+
+        def planner_fn(captions):
+            feats = np.asarray(reward.text_features(captions))
+            scores = np.asarray(policy_scores(policy_params, feats, feats_cand))
+            planned = plan_layouts(llm, scores, cand_examples, captions,
+                                   shot_number=args.shot_number)
+            return [(cats, boxes) for cats, boxes, _out, _ids in planned]
+
+    kwargs = dict(batch_size=args.batch_size, seed=args.seed,
+                  max_examples=args.max_examples, planner_fn=planner_fn,
+                  collect_images=args.fid)
+    if args.data_dir:
+        out = run_all_splits(pipe, reward, args.data_dir, **{
+            k: v for k, v in kwargs.items() if k != "collect_images"})
+    else:
+        examples = load_split(args.data_path)
+        out = run_bench(pipe, reward, examples, **kwargs)
+        if args.fid:
+            assert args.img_dir, "--fid needs --img_dir with the GT images"
+            gen = out.pop("images")
+            n = len(gen)
+            gt = load_gt_images(examples[:n], args.img_dir, size=gen.shape[1])
+            out.update(compute_fid(gen, gt, args.inception_ckpt, reward))
+        out.pop("images", None)
     print(json.dumps(out))
 
 

@@ -123,12 +123,12 @@ def output_block_specs(cfg: UNetConfig):
 
 
 def res_block(p, x, emb):
-    h = nn.group_norm(p["in_layers"]["0"], x)
-    h = nn.conv2d(p["in_layers"]["2"], nn.silu(h))
+    h = nn.group_norm(p["in_layers"]["0"], x, silu=True)
+    h = nn.conv2d(p["in_layers"]["2"], h)
     emb_out = nn.linear(p["emb_layers"]["1"], nn.silu(emb))
     h = h + emb_out[:, None, None, :].astype(h.dtype)
-    h = nn.group_norm(p["out_layers"]["0"], h)
-    h = nn.conv2d(p["out_layers"]["3"], nn.silu(h))
+    h = nn.group_norm(p["out_layers"]["0"], h, silu=True)
+    h = nn.conv2d(p["out_layers"]["3"], h)
     if "skip_connection" in p:
         x = nn.conv2d(p["skip_connection"], x, padding=0)
     return x + h
@@ -169,6 +169,10 @@ def _init_position_net_for(key, cfg: UNetConfig):
 
         return init_position_net_keypoint(key, cfg.max_persons_per_image,
                                           cfg.grounding_out_dim)
+    if cfg.grounding_type == "map":
+        from .grounding_extras import init_position_net_map
+
+        return init_position_net_map(key, cfg.grounding_out_dim)
     raise ValueError(f"unknown grounding_type {cfg.grounding_type}")
 
 
@@ -189,6 +193,12 @@ def _apply_position_net(params, cfg: UNetConfig, boxes, masks,
         return position_net_keypoint(params, boxes, masks,
                                      cfg.max_persons_per_image,
                                      cfg.grounding_out_dim)
+    if cfg.grounding_type == "map":
+        from .grounding_extras import position_net_map
+
+        # canny/hed/depth/normal/sem: ConvNeXt tokens over the condition map
+        eg = extra_grounding or {}
+        return position_net_map(params, eg["cond_map"], eg["map_mask"])
     raise ValueError(f"unknown grounding_type {cfg.grounding_type}")
 
 
@@ -271,10 +281,17 @@ def unet_apply(
     grounding_extra: Optional[jnp.ndarray] = None,    # pre-downsampled channels
     attn_impl: str = "auto",
     extra_grounding: Optional[dict] = None,           # text_image mode inputs
+    objs: Optional[jnp.ndarray] = None,               # precomputed grounding tokens
 ):
-    """One eps-prediction forward (openaimodel.py:413-459)."""
-    objs = _apply_position_net(params["position_net"], cfg, boxes, masks,
-                               positive_embeddings, extra_grounding)
+    """One eps-prediction forward (openaimodel.py:413-459).
+
+    ``objs`` lets the sampler hoist the grounding tokens out of the step
+    scan: they depend only on the (step-invariant) grounding inputs, yet the
+    reference recomputes position_net per UNet call — for the ConvNeXt map
+    tokenizer that is 100 backbone evals per 50-step CFG sample."""
+    if objs is None:
+        objs = _apply_position_net(params["position_net"], cfg, boxes, masks,
+                                   positive_embeddings, extra_grounding)
     objs = objs.astype(x.dtype)
 
     t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
@@ -324,6 +341,6 @@ def unet_apply(
         if up:
             h = upsample(blk[str(nxt)], h)
 
-    h = nn.group_norm(params["out"]["0"], h)
-    h = nn.conv2d(params["out"]["2"], nn.silu(h))
+    h = nn.group_norm(params["out"]["0"], h, silu=True)
+    h = nn.conv2d(params["out"]["2"], h)
     return h

@@ -32,13 +32,13 @@ class VAEConfig:
     double_z: bool = True
 
 
-def _gn(p, x):
-    return nn.group_norm(p, x, num_groups=32, eps=1e-6)
+def _gn(p, x, silu: bool = False):
+    return nn.group_norm(p, x, num_groups=32, eps=1e-6, silu=silu)
 
 
 def resnet_block(p, x):
-    h = nn.conv2d(p["conv1"], nn.silu(_gn(p["norm1"], x)))
-    h = nn.conv2d(p["conv2"], nn.silu(_gn(p["norm2"], h)))
+    h = nn.conv2d(p["conv1"], _gn(p["norm1"], x, silu=True))
+    h = nn.conv2d(p["conv2"], _gn(p["norm2"], h, silu=True))
     if "nin_shortcut" in p:
         x = nn.conv2d(p["nin_shortcut"], x, padding=0)
     return x + h
@@ -104,7 +104,7 @@ def encoder_apply(p, cfg: VAEConfig, x):
     h = resnet_block(p["mid"]["block_1"], h)
     h = attn_block(p["mid"]["attn_1"], h)
     h = resnet_block(p["mid"]["block_2"], h)
-    h = nn.conv2d(p["conv_out"], nn.silu(_gn(p["norm_out"], h)))
+    h = nn.conv2d(p["conv_out"], _gn(p["norm_out"], h, silu=True))
     return h
 
 
@@ -119,7 +119,7 @@ def decoder_apply(p, cfg: VAEConfig, z):
             h = resnet_block(lvl["block"][str(i_block)], h)
         if i_level != 0:
             h = vae_upsample(lvl["upsample"], h)
-    h = nn.conv2d(p["conv_out"], nn.silu(_gn(p["norm_out"], h)))
+    h = nn.conv2d(p["conv_out"], _gn(p["norm_out"], h, silu=True))
     return h
 
 

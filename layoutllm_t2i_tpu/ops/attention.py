@@ -73,7 +73,7 @@ def attention_with_projections(p, x, key, value, num_heads: int, mask=None,
         qh = jnp.einsum("bnd,dhc->bhnc", x, wq)
         kh = jnp.einsum("bmd,dhc->bhmc", key, wk)
         vh = jnp.einsum("bmd,dhc->bhmc", value, wv)
-        out = flash_attention(qh, kh, vh, scale=scale)
+        out = flash_attention(qh, kh, vh, scale)
         po = p["to_out"]["0"]
         wo = po["weight"].astype(x.dtype).reshape(num_heads, c, -1)
         y = jnp.einsum("bhnc,hcd->bnd", out, wo)
@@ -117,7 +117,7 @@ def multi_head_attention(q, k, v, num_heads: int, mask=None, impl: str = "auto")
         qh = q.reshape(b, n, num_heads, c).transpose(0, 2, 1, 3)  # B,H,N,C
         kh = k.reshape(b, m, num_heads, c).transpose(0, 2, 1, 3)
         vh = v.reshape(b, m, num_heads, c).transpose(0, 2, 1, 3)
-        out = flash_attention(qh, kh, vh, scale=scale)
+        out = flash_attention(qh, kh, vh, scale)
         return out.transpose(0, 2, 1, 3).reshape(b, n, hc)
 
     # head-split via einsum over the packed layout — XLA folds the head

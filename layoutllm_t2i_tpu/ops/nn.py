@@ -19,9 +19,20 @@ Numerical parity notes vs the reference:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _fused_norms_enabled() -> bool:
+    """Pallas one-pass norm kernels: TPU-only (tests exercise them in
+    interpreter mode directly, see tests/test_norm_kernels.py)."""
+    return (
+        os.environ.get("LLT2I_DISABLE_FUSED_NORM", "0") != "1"
+        and jax.default_backend() == "tpu"
+    )
 
 
 def linear(p, x):
@@ -47,8 +58,18 @@ def conv2d(p, x, stride: int = 1, padding=1):
     return y
 
 
-def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
-    """GroupNorm over NHWC with float32 statistics (GroupNorm32 parity)."""
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
+               silu: bool = False):
+    """GroupNorm over NHWC with float32 statistics (GroupNorm32 parity).
+
+    ``silu=True`` fuses the SiLU that follows every UNet/VAE norm-before-conv
+    site; on TPU this dispatches to the one-pass Pallas kernel
+    (ops/pallas/norms.py) which reads the activation from HBM once.
+    """
+    if _fused_norms_enabled():
+        from .pallas.norms import group_norm_silu
+
+        return group_norm_silu(x, p["weight"], p["bias"], num_groups, eps, silu)
     n, h, w, c = x.shape
     xf = x.astype(jnp.float32).reshape(n, h, w, num_groups, c // num_groups)
     mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
@@ -56,10 +77,16 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
     xf = (xf - mean) * lax.rsqrt(var + eps)
     xf = xf.reshape(n, h, w, c)
     xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    if silu:
+        xf = xf * jax.nn.sigmoid(xf)
     return xf.astype(x.dtype)
 
 
 def layer_norm(p, x, eps: float = 1e-5):
+    if _fused_norms_enabled():
+        from .pallas.norms import layer_norm_fused
+
+        return layer_norm_fused(x, p["weight"], p["bias"], eps)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)

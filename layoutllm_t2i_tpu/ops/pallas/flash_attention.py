@@ -1,4 +1,4 @@
-"""Pallas TPU flash attention (forward, non-causal).
+"""Pallas TPU flash attention (forward + custom-VJP backward, non-causal).
 
 Used for the UNet's spatial self/gated self-attention (up to 4096+30 tokens,
 head dim 40-160) and the VAE's single-head 4096x512 attention. Online softmax
@@ -11,6 +11,15 @@ inputs may be bfloat16.
 Head dims are zero-padded to a 128-lane multiple (zero features don't change
 dot products); padded key rows are masked to -inf, padded query rows sliced
 away.
+
+The backward is the standard recompute-softmax flash backward: the forward
+rule additionally emits the per-row log-sum-exp; dQ streams K/V blocks per
+query block, dK/dV streams Q/dO blocks per key block, with f32 accumulators
+in VMEM scratch. Padded dO rows are zero so padding contributes nothing;
+padded dK/dV rows are sliced away. This makes the training step
+(train_step.py) differentiable through the Pallas path instead of falling
+back to XLA attention (the reference trains through its attention,
+trainer_combined_layout.py:414-416).
 """
 from __future__ import annotations
 
@@ -28,8 +37,14 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  block_k: int, kv_len: int, scale: float, num_kb: int):
+def _lse_row(m_col, l_col):
+    """(BQ, 1) running max/denominator -> (1, BQ) log-sum-exp row."""
+    return jnp.transpose(m_col + jnp.log(l_col), (1, 0))
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+                  block_k: int, kv_len: int, scale: float, num_kb: int,
+                  need_lse: bool):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -41,7 +56,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (BQ, C)
     k = k_ref[0]                                      # (BK, C)
     v = v_ref[0]
-    block_q = q.shape[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (BQ, BK)
@@ -65,10 +79,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     @pl.when(ki == num_kb - 1)
     def _finish():
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        if need_lse:
+            lse_ref[:] = _lse_row(m_scr[:, :1], l_scr[:, :1])
 
 
-def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
-                         kv_len: int, scale: float):
+def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
+                         kv_len: int, scale: float, need_lse: bool):
     """Single-program variant: full K/V resident in VMEM, fori over k-blocks.
     Faster than the streaming grid when K/V fit (fewer grid iterations, no
     scratch round-trips); the wrapper picks it by VMEM footprint."""
@@ -100,6 +116,8 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
 
     m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+    if need_lse:
+        lse_ref[:] = _lse_row(m_i, l_i)
 
 
 # keep total VMEM well under the 16MB budget (K+V resident, double-buffered
@@ -108,23 +126,40 @@ _FULLKV_VMEM_BYTES = 4 * 1024 * 1024
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "kv_len", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "kv_len", "interpret",
+                     "need_lse"),
 )
 def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
-              interpret: bool):
-    """q: (BH, Np, Cp), k/v: (BH, Mp, Cp) — padded; kv_len is the true M."""
+              interpret: bool, need_lse: bool = False):
+    """q: (BH, Np, Cp), k/v: (BH, Mp, Cp) — padded; kv_len is the true M.
+
+    Returns out or (out, lse) with lse: (BH, Np) float32."""
     bh, np_, cp = q.shape
     mp = k.shape[1]
     num_kb = mp // block_k
     kv_bytes = 2 * mp * cp * q.dtype.itemsize
 
+    out_shapes = [jax.ShapeDtypeStruct((bh, np_, cp), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, cp), lambda b, i, j=None: (b, i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes.append(jax.ShapeDtypeStruct((bh, np_) if need_lse else (1, 1),
+                                           jnp.float32))
+    out_specs.append(
+        pl.BlockSpec((1, block_q), lambda b, i, j=None: (b, i),
+                     memory_space=pltpu.VMEM)
+        if need_lse
+        else pl.BlockSpec((1, 1), lambda b, i, j=None: (0, 0),
+                          memory_space=pltpu.VMEM))
+
     if kv_bytes <= _FULLKV_VMEM_BYTES:
         kernel = functools.partial(
-            _flash_kernel_fullkv, block_k=block_k, kv_len=kv_len, scale=scale
+            _flash_kernel_fullkv, block_k=block_k, kv_len=kv_len, scale=scale,
+            need_lse=need_lse,
         )
-        return pl.pallas_call(
+        out, lse = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((bh, np_, cp), q.dtype),
+            out_shape=tuple(out_shapes),
             grid=(bh, np_ // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, cp), lambda b, i: (b, i, 0),
@@ -134,18 +169,19 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
                 pl.BlockSpec((1, mp, cp), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, cp), lambda b, i: (b, i, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=tuple(out_specs),
             interpret=interpret,
         )(q, k, v)
+        return (out, lse) if need_lse else out
 
     grid = (bh, np_ // block_q, num_kb)
     kernel = functools.partial(
-        _flash_kernel, block_k=block_k, kv_len=kv_len, scale=scale, num_kb=num_kb
+        _flash_kernel, block_k=block_k, kv_len=kv_len, scale=scale,
+        num_kb=num_kb, need_lse=need_lse,
     )
-    return pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, np_, cp), q.dtype),
+        out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, cp), lambda b, i, j: (b, i, 0),
@@ -155,8 +191,7 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
             pl.BlockSpec((1, block_k, cp), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, cp), lambda b, i, j: (b, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),   # running max
             pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
@@ -167,16 +202,156 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
         ),
         interpret=interpret,
     )(q, k, v)
+    return (out, lse) if need_lse else out
 
 
-def flash_attention(q, k, v, scale: float, block_q: int = 256, block_k: int = 512,
-                    interpret: bool | None = None):
-    """q: (B, H, N, C), k/v: (B, H, M, C) -> (B, H, N, C)."""
+# ---------------------------------------------------------------------------
+# backward kernels
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref,
+                   dq_scr, *, block_k: int, kv_len: int, scale: float,
+                   num_kb: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = jnp.transpose(lse_ref[:], (1, 0))   # (BQ, 1)
+    dlt = jnp.transpose(dlt_ref[:], (1, 0))   # (BQ, 1)
+
+    s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)                       # (BQ, BK)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - dlt)
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_kb - 1)
+    def _finish():
+        dq_ref[0] = (dq_scr[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float,
+                    num_qb: int):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = jnp.transpose(lse_ref[:], (1, 0))   # (BQ, 1)
+    dlt = jnp.transpose(dlt_ref[:], (1, 0))
+
+    s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    # padded key rows need no mask here: their dk/dv rows are sliced away,
+    # and padded q rows contribute nothing because their dO is zero
+    p = jnp.exp(s - lse)                       # (BQ, BK)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - dlt)
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == num_qb - 1)
+    def _finish():
+        dk_ref[0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "kv_len",
+                              "interpret"),
+)
+def _flash_bwd_bh(q, k, v, do, lse, delta, scale: float, block_q: int,
+                  block_k: int, kv_len: int, interpret: bool):
+    """Padded (BH, Np/Mp, Cp) inputs -> (dq, dk, dv) in the input dtype."""
+    bh, np_, cp = q.shape
+    mp = k.shape[1]
+    num_kb = mp // block_k
+    num_qb = np_ // block_q
+
+    qspec = pl.BlockSpec((1, block_q, cp), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, block_k, cp), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
+                           memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k, kv_len=kv_len,
+                          scale=scale, num_kb=num_kb),
+        out_shape=jax.ShapeDtypeStruct((bh, np_, cp), q.dtype),
+        grid=(bh, num_qb, num_kb),
+        in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec],
+        out_specs=qspec,
+        scratch_shapes=[pltpu.VMEM((block_q, cp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    # swap loop order: per key block, stream query blocks
+    qspec2 = pl.BlockSpec((1, block_q, cp), lambda b, j, i: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kspec2 = pl.BlockSpec((1, block_k, cp), lambda b, j, i: (b, j, 0),
+                          memory_space=pltpu.VMEM)
+    rowspec2 = pl.BlockSpec((1, block_q), lambda b, j, i: (b, i),
+                            memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, num_qb=num_qb),
+        out_shape=(jax.ShapeDtypeStruct((bh, mp, cp), k.dtype),
+                   jax.ShapeDtypeStruct((bh, mp, cp), v.dtype)),
+        grid=(bh, num_kb, num_qb),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, rowspec2, rowspec2],
+        out_specs=(kspec2, kspec2),
+        scratch_shapes=[pltpu.VMEM((block_k, cp), jnp.float32),
+                        pltpu.VMEM((block_k, cp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public entry with custom VJP
+
+
+def _pad_rows(x, rows):
+    if rows == x.shape[1]:
+        return x
+    return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, 0)))
+
+
+def _prep(q, k, v, block_q, block_k, interpret):
     b, h, n, c = q.shape
     m = k.shape[2]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-
     # No column padding: Mosaic pads sub-128 minor dims inside VMEM tiles for
     # free, while an explicit jnp.pad materializes 128/c-times the HBM
     # traffic (for SD's d_head=40 that tripled attention bandwidth).
@@ -184,15 +359,45 @@ def flash_attention(q, k, v, scale: float, block_q: int = 256, block_k: int = 51
     block_k = min(block_k, _round_up(m, 128))
     np_ = _round_up(n, block_q)
     mp = _round_up(m, block_k)
+    qf = _pad_rows(q.reshape(b * h, n, c), np_)
+    kf = _pad_rows(k.reshape(b * h, m, c), mp)
+    vf = _pad_rows(v.reshape(b * h, m, c), mp)
+    return qf, kf, vf, block_q, block_k, interpret
 
-    def pad_rows(x, rows):
-        if rows == x.shape[1]:
-            return x
-        return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, 0)))
 
-    qf = pad_rows(q.reshape(b * h, n, c), np_)
-    kf = pad_rows(k.reshape(b * h, m, c), mp)
-    vf = pad_rows(v.reshape(b * h, m, c), mp)
-    # kv_len for masking is the true m; padded key rows get -inf scores.
-    out = _flash_bh(qf, kf, vf, scale, block_q, block_k, m, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(q, k, v, scale, block_q=256, block_k=512, interpret=None):
+    """q: (B, H, N, C), k/v: (B, H, M, C) -> (B, H, N, C). Differentiable."""
+    b, h, n, c = q.shape
+    m = k.shape[2]
+    qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret)
+    out = _flash_bh(qf, kf, vf, scale, bq, bk, m, interp, need_lse=False)
     return out[:, :n, :].reshape(b, h, n, c)
+
+
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
+    b, h, n, c = q.shape
+    m = k.shape[2]
+    qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret)
+    out, lse = _flash_bh(qf, kf, vf, scale, bq, bk, m, interp, need_lse=True)
+    return out[:, :n, :].reshape(b, h, n, c), (qf, kf, vf, out, lse, bq, bk,
+                                               interp, n, m)
+
+
+def _flash_bwd_rule(scale, block_q, block_k, interpret, res, g):
+    qf, kf, vf, out, lse, bq, bk, interp, n, m = res
+    bh, np_, c = qf.shape
+    b_times_h = bh
+    gf = _pad_rows(g.reshape(b_times_h, n, c), np_).astype(qf.dtype)
+    delta = jnp.sum(gf.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)                       # (BH, Np)
+    dq, dk, dv = _flash_bwd_bh(qf, kf, vf, gf, lse, delta, scale, bq, bk, m,
+                               interp)
+    shape_q = g.shape
+    dq = dq[:, :n, :].reshape(shape_q)
+    dk = dk[:, :m, :].reshape(shape_q[0], shape_q[1], m, c)
+    dv = dv[:, :m, :].reshape(shape_q[0], shape_q[1], m, c)
+    return dq, dk, dv
+
+
+flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -1,0 +1,230 @@
+"""Fused one-pass GroupNorm(+SiLU) and LayerNorm Pallas TPU kernels.
+
+Motivation (PERF.md round-1 trace): the XLA lowering of GroupNorm32-style
+norms (float32 statistics over a bf16 tensor, GLIGEN util.py:226-228) costs
+two full reads of the activation per norm (convert+reduce pass, then a
+normalize pass) plus a separately materialized SiLU output before each conv.
+These kernels read the activation from HBM once, compute f32 statistics
+on-chip, and write the normalized (optionally SiLU'd) result once —
+~15% of the round-1 UNet step was this convert/reduce traffic.
+
+Shapes are blocked per batch sample (GroupNorm) or per row-chunk
+(LayerNorm); statistics never leave VMEM. Group sums are computed with tiny
+one-hot matmuls ((1,C)x(C,G)) instead of lane-splitting reshapes, which
+Mosaic handles poorly.
+
+Both kernels carry a ``jax.custom_vjp`` whose backward recomputes the norm
+in plain XLA math — training differentiates through them without a
+hand-written backward kernel (the backward is bandwidth-bound either way).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-block VMEM budget for the activation tile (bf16 4096x960 = 7.9MB)
+_GN_BLOCK_BYTES = 9 * 1024 * 1024
+_ROW_TILE = 512  # HW rows processed per inner iteration
+
+
+def _gn_kernel(x_ref, g_ref, b_ref, o_ref, *, num_groups: int, eps: float,
+               silu: bool, row_tile: int):
+    """x_ref: (1, HW, C). One batch sample per program."""
+    hw, c = x_ref.shape[1], x_ref.shape[2]
+    cg = c // num_groups
+    n_tiles = hw // row_tile
+
+    # one-hot (C, G) group map; tiny constants the compiler folds
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    group_of = (ch // cg == gr).astype(jnp.float32)          # (C, G)
+
+    def stat_body(i, carry):
+        s, ss = carry
+        x = x_ref[0, pl.ds(i * row_tile, row_tile), :].astype(jnp.float32)
+        return s + jnp.sum(x, axis=0, keepdims=True), \
+               ss + jnp.sum(x * x, axis=0, keepdims=True)
+
+    zero = jnp.zeros((1, c), jnp.float32)
+    s, ss = jax.lax.fori_loop(0, n_tiles, stat_body, (zero, zero))
+
+    gsum = jnp.dot(s, group_of, preferred_element_type=jnp.float32)   # (1, G)
+    gsq = jnp.dot(ss, group_of, preferred_element_type=jnp.float32)
+    cnt = float(hw * cg)
+    mean_g = gsum / cnt
+    var_g = gsq / cnt - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast group stats back to channels: (1,G) x (G,C)
+    mean_c = jnp.dot(mean_g, group_of.T, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd_g, group_of.T, preferred_element_type=jnp.float32)
+
+    gamma = g_ref[:].astype(jnp.float32).reshape(1, c)
+    beta = b_ref[:].astype(jnp.float32).reshape(1, c)
+    scale = gamma * rstd_c
+    shift = beta - mean_c * scale
+
+    def norm_body(i, _):
+        x = x_ref[0, pl.ds(i * row_tile, row_tile), :].astype(jnp.float32)
+        y = x * scale + shift
+        if silu:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, pl.ds(i * row_tile, row_tile), :] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, norm_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "silu",
+                                             "interpret"))
+def _gn_pallas(x, gamma, beta, num_groups: int, eps: float, silu: bool,
+               interpret: bool):
+    n, h, w, c = x.shape
+    hw = h * w
+    row_tile = min(_ROW_TILE, hw)
+    while hw % row_tile:
+        row_tile //= 2
+    xr = x.reshape(n, hw, c)
+    kernel = functools.partial(_gn_kernel, num_groups=num_groups, eps=eps,
+                               silu=silu, row_tile=row_tile)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xr, gamma, beta)
+    return out.reshape(n, h, w, c)
+
+
+def _gn_reference(x, gamma, beta, num_groups: int, eps: float, silu: bool):
+    """Plain-XLA math (identical to ops.nn.group_norm), used as fallback and
+    as the recompute inside the custom backward."""
+    n, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(n, h, w, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(n, h, w, c)
+    y = xf * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _gn_eligible(x) -> bool:
+    n, h, w, c = x.shape
+    return (h * w) % 8 == 0 and c % 128 == 0 and \
+        h * w * c * x.dtype.itemsize <= _GN_BLOCK_BYTES
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def group_norm_silu(x, gamma, beta, num_groups: int = 32, eps: float = 1e-5,
+                    silu: bool = False):
+    """Fused GroupNorm(+SiLU) over NHWC with f32 statistics."""
+    interpret = jax.default_backend() != "tpu"
+    if not _gn_eligible(x):
+        return _gn_reference(x, gamma, beta, num_groups, eps, silu)
+    return _gn_pallas(x, gamma, beta, num_groups, eps, silu, interpret)
+
+
+def _gn_fwd(x, gamma, beta, num_groups, eps, silu):
+    return group_norm_silu(x, gamma, beta, num_groups, eps, silu), (x, gamma, beta)
+
+
+def _gn_bwd(num_groups, eps, silu, res, g):
+    x, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda xx, gg, bb: _gn_reference(xx, gg, bb, num_groups, eps, silu),
+        x, gamma, beta)
+    return vjp(g)
+
+
+group_norm_silu.defvjp(_gn_fwd, _gn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm
+
+
+def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
+    x = x_ref[:].astype(jnp.float32)                        # (rows, C)
+    c = x.shape[1]
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[:].astype(jnp.float32).reshape(1, c) \
+        + b_ref[:].astype(jnp.float32).reshape(1, c)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _ln_pallas(x2, gamma, beta, eps: float, interpret: bool):
+    rows, c = x2.shape
+    block = min(1024, rows)
+    while rows % block:
+        block //= 2
+    return pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x2.dtype),
+        grid=(rows // block,),
+        in_specs=[
+            pl.BlockSpec((block, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, gamma, beta)
+
+
+def _ln_reference(x, gamma, beta, eps: float):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = xf * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def layer_norm_fused(x, gamma, beta, eps: float = 1e-5):
+    """Fused LayerNorm over the last axis with f32 statistics."""
+    c = x.shape[-1]
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if jax.default_backend() != "tpu" and rows * c > (1 << 22):
+        # interpret mode on huge inputs is slow in tests; use XLA math
+        return _ln_reference(x, gamma, beta, eps)
+    if c % 128 != 0 or rows % 8 != 0:
+        return _ln_reference(x, gamma, beta, eps)
+    interpret = jax.default_backend() != "tpu"
+    out = _ln_pallas(x.reshape(rows, c), gamma, beta, eps, interpret)
+    return out.reshape(x.shape)
+
+
+def _ln_fwd(x, gamma, beta, eps):
+    return layer_norm_fused(x, gamma, beta, eps), (x, gamma, beta)
+
+
+def _ln_bwd(eps, res, g):
+    x, gamma, beta = res
+    _, vjp = jax.vjp(lambda xx, gg, bb: _ln_reference(xx, gg, bb, eps),
+                     x, gamma, beta)
+    return vjp(g)
+
+
+layer_norm_fused.defvjp(_ln_fwd, _ln_bwd)

@@ -131,23 +131,18 @@ def alpha_generator(length: int, type=None):
     ``p_on`` fraction of steps, linearly decays over ``p_decay``, then 0.
     Matches reference txt2img.py:59-93.
     """
-    if type is None:
-        type = [1, 0, 0]
-    assert len(type) == 3
-    assert type[0] + type[1] + type[2] == 1
+    p_on, p_decay, p_off = type if type is not None else (1, 0, 0)
+    assert p_on + p_decay + p_off == 1
+    n_on = int(p_on * length)
+    n_decay = int(p_decay * length)
 
-    stage0_length = int(type[0] * length)
-    stage1_length = int(type[1] * length)
-    stage2_length = length - stage0_length - stage1_length
-
-    if stage1_length != 0:
-        decay_alphas = list(np.arange(start=0, stop=1, step=1 / stage1_length)[::-1])
-    else:
-        decay_alphas = []
-
-    alphas = [1] * stage0_length + decay_alphas + [0] * stage2_length
-    assert len(alphas) == length
-    return alphas
+    out = np.zeros(length, dtype=np.float64)
+    out[:n_on] = 1.0
+    if n_decay:
+        # the reference builds the ramp as arange(0, 1, 1/n)[::-1], which
+        # starts at (n-1)/n and ends at 0 — reproduced exactly
+        out[n_on:n_on + n_decay] = np.arange(n_decay, dtype=np.float64)[::-1] / n_decay
+    return out.tolist()
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..diffusion.samplers import StepTables, ddim_sample, make_step_tables, plms_sample
 from ..models.clip_text import CLIPTextConfig, clip_text_apply
-from ..models.unet import UNetConfig, unet_apply
+from ..models.unet import UNetConfig, _apply_position_net, unet_apply
 from ..models.vae import VAEConfig, decode as vae_decode
 from ..ops.schedules import DDPMSchedule
 from ..utils.trees import override_subtree
@@ -83,6 +83,29 @@ def convert_xcycwh_to_ltrb(box):
 # device-side programs
 
 
+def precompute_grounding_tokens(models: GligenModels, unet_params, cond,
+                                use_cfg: bool):
+    """Grounding tokens are step-invariant; computing them once before the
+    sampling scan removes one position_net eval per UNet call (the reference
+    recomputes per step, openaimodel.py:426). Returns the (2B or B, N, C)
+    tokens matching the CFG batch layout of make_cfg_denoiser."""
+    cfg = models.unet_cfg
+    eg = cond.get("extra_grounding")
+    objs_c = _apply_position_net(unet_params["position_net"], cfg,
+                                 cond["boxes"], cond["masks"],
+                                 cond["phrase_embeddings"], eg)
+    if not use_cfg:
+        return objs_c
+    eg_null = (None if eg is None
+               else {k: jnp.zeros_like(v) for k, v in eg.items()})
+    objs_u = _apply_position_net(unet_params["position_net"], cfg,
+                                 jnp.zeros_like(cond["boxes"]),
+                                 jnp.zeros_like(cond["masks"]),
+                                 jnp.zeros_like(cond["phrase_embeddings"]),
+                                 eg_null)
+    return jnp.concatenate([objs_c, objs_u])
+
+
 def make_cfg_denoiser(
     models: GligenModels,
     guidance_scale: float,
@@ -90,7 +113,9 @@ def make_cfg_denoiser(
 ):
     """Returns denoise(params, sd_conv, cond, x, t, fuser_scale, use_sd) with
     classifier-free guidance run as one doubled batch (the reference issues
-    two sequential UNet calls, plms.py:115-124)."""
+    two sequential UNet calls, plms.py:115-124). If ``cond['objs']`` holds
+    precomputed grounding tokens (precompute_grounding_tokens), position_net
+    is skipped inside the scan."""
     cfg = models.unet_cfg
     dtype = models.compute_dtype
     use_cfg = guidance_scale != 1.0
@@ -131,7 +156,8 @@ def make_cfg_denoiser(
                              fuser_scale=fuser_scale,
                              inpainting_extra=dup(inpainting_extra),
                              grounding_extra=dup(grounding_extra),
-                             attn_impl=attn_impl, extra_grounding=eg2)
+                             attn_impl=attn_impl, extra_grounding=eg2,
+                             objs=cond.get("objs"))
             e_cond, e_uncond = jnp.split(eps.astype(jnp.float32), 2)
             return e_uncond + guidance_scale * (e_cond - e_uncond)
         eps = unet_apply(params, cfg, xm, t, cond["context"].astype(dtype), cond["boxes"],
@@ -139,7 +165,8 @@ def make_cfg_denoiser(
                          cond["relations"].astype(dtype), fuser_scale=fuser_scale,
                          inpainting_extra=inpainting_extra,
                          grounding_extra=grounding_extra,
-                         attn_impl=attn_impl, extra_grounding=extra_grounding)
+                         attn_impl=attn_impl, extra_grounding=extra_grounding,
+                         objs=cond.get("objs"))
         return eps.astype(jnp.float32)
 
     return denoise
@@ -203,6 +230,10 @@ class InferencePipeline:
 
     def _sample_fn(self, unet_params, vae_params, sd_conv, cond, noise, rng):
         denoise_core = make_cfg_denoiser(self.models, self.guidance_scale, self.attn_impl)
+        # hoist the step-invariant grounding tokens out of the sampling scan
+        cond = dict(cond)
+        cond["objs"] = precompute_grounding_tokens(
+            self.models, unet_params, cond, self.guidance_scale != 1.0)
 
         def denoise(x, t, fscale, use_sd):
             return denoise_core(unet_params, sd_conv, cond, x, t, fscale, use_sd)

@@ -95,3 +95,52 @@ def random_models(seed: int = 0, dtype=None, small: bool = False) -> GligenModel
         tokenizer=default_tokenizer(),
         compute_dtype=dtype,
     )
+
+
+def adapt_models_for_modality(models: GligenModels, modality: str,
+                              seed: int = 0, downsampler_out: int = 8,
+                              max_persons: int = 8) -> GligenModels:
+    """Re-shape a box+text bundle for an upstream-GLIGEN modality
+    (gligen_inference.py:199-342 dispatches per released ckpt; here the
+    grounding tokenizer / downsampler / first conv are re-initialized when the
+    loaded checkpoint doesn't carry them — real modality ckpts come through
+    load_models_from_gligen_ckpt with these params already present).
+
+    map modalities (canny/hed/depth/normal/sem): ConvNeXt token tokenizer +
+    a conv downsampler whose output channels concat to the UNet input
+    (additional_in_channels); keypoint: the 17-point person tokenizer. Both
+    disable the relation layer (upstream GLIGEN ckpts have no rela_fuse)."""
+    import dataclasses
+
+    from ..models.grounding_extras import init_grounding_downsampler
+    from ..models.unet import _init_position_net_for
+    from ..models import initializers as minit
+
+    map_modalities = ("canny", "hed", "depth", "normal", "sem")
+    if modality in map_modalities:
+        new_cfg = dataclasses.replace(
+            models.unet_cfg, grounding_type="map",
+            additional_in_channels=downsampler_out,
+            use_relation_attention=False)
+    elif modality == "keypoint":
+        new_cfg = dataclasses.replace(
+            models.unet_cfg, grounding_type="keypoint",
+            max_persons_per_image=max_persons, use_relation_attention=False)
+    else:
+        return models
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    params = dict(models.unet_params)
+    if models.unet_cfg.grounding_type != new_cfg.grounding_type:
+        params["position_net"] = _init_position_net_for(k1, new_cfg)
+    if new_cfg.first_conv_in_channels != models.unet_cfg.first_conv_in_channels:
+        inblocks = dict(params["input_blocks"])
+        inblocks["0"] = {"0": minit.conv_p(
+            k2, 3, 3, new_cfg.first_conv_in_channels, new_cfg.model_channels)}
+        params["input_blocks"] = inblocks
+    if modality in map_modalities and "downsample_net" not in params:
+        params["downsample_net"] = init_grounding_downsampler(k3, downsampler_out)
+    # the 4-channel SD first-conv restore cannot apply over extra channels;
+    # modality runs keep grounding on for all steps (alpha [1,0,0])
+    return dataclasses.replace(models, unet_cfg=new_cfg, unet_params=params,
+                               sd_first_conv=None)

@@ -57,7 +57,15 @@ class TrainerConfig:
     max_relations: int = 10
     seed: int = 123
     ckpt_path: Optional[str] = None   # converted GLIGEN ckpt (.pth) to start from
+    # periodic PLMS sample grid on a training batch at every save
+    # (trainer_combined_layout.py:457-521); off by default like the reference
+    # flag of the same name
     disable_inference_in_training: bool = True
+    preview_steps: int = 50
+    preview_guidance: float = 5.0
+    # additionally write the reference 4-module dict .pth at every save so
+    # reference tooling can consume trained weights (checkpoint/export.py)
+    export_reference_ckpt: bool = False
     num_devices: Optional[int] = None
 
 
@@ -176,19 +184,14 @@ class DiffusionTrainer:
         ids = self.tokenizer(list(texts))
         return np.asarray(self._encode_pooled(jnp.asarray(ids)))
 
-    def prepare_batch(self, batch, rng):
-        """Host batch -> device model inputs (get_input + grounding prepare,
-        trainer_combined_layout.py:371-410)."""
+    def _grounding_tensors(self, captions, labels_list):
+        """Per-box phrase embeddings + relation embeddings (the grounding
+        prepare of trainer_combined_layout.py:334-369,410)."""
         cfg = self.config
-        captions = batch["caption"]
         b = len(captions)
-        ids = self.tokenizer(captions)
-        z, context = self._encode(jnp.asarray(batch["image"]), jnp.asarray(ids), rng)
-
-        # per-box phrase embeddings: pooled CLIP of each label string
         pos = np.zeros((b, cfg.max_boxes, self.clip_cfg.hidden_size), np.float32)
         flat, where = [], []
-        for i, labels in enumerate(batch["labels"]):
+        for i, labels in enumerate(labels_list):
             for j, lab in enumerate(labels[: cfg.max_boxes]):
                 flat.append(lab)
                 where.append((i, j))
@@ -202,16 +205,41 @@ class DiffusionTrainer:
             texts = relation_texts_for_training(cap, cfg.max_relations)
             if texts:
                 rel[i, : len(texts)] = self.encode_texts_pooled(texts)
+        return pos, rel
 
-        out = {
+    def _to_global(self, x):
+        """Host array -> global device array over the data mesh.
+
+        Single host: a plain device_put with the batch sharding. Multi-host:
+        each process holds only its LOCAL shard of the global batch (the data
+        loader feeds per-process slices, like the reference's
+        DistributedSampler, trainer_combined_layout.py:288), and
+        ``make_array_from_process_local_data`` assembles the global array
+        without any cross-host transfer."""
+        x = np.asarray(x)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(self._data_sharding, x)
+        return jax.device_put(jnp.asarray(x), self._data_sharding)
+
+    def prepare_batch(self, batch, rng):
+        """Host batch -> device model inputs (get_input + grounding prepare,
+        trainer_combined_layout.py:371-410). On multi-host, ``batch`` is this
+        process's local shard of the global batch."""
+        captions = batch["caption"]
+        ids = self.tokenizer(captions)
+        images = self._to_global(np.asarray(batch["image"], np.float32))
+        ids_g = self._to_global(np.asarray(ids))
+        z, context = self._encode(images, ids_g, rng)
+        pos, rel = self._grounding_tensors(captions, batch["labels"])
+
+        return {
             "z": z,
             "context": context,
-            "boxes": jnp.asarray(batch["boxes"], jnp.float32),
-            "masks": jnp.asarray(batch["masks"], jnp.float32),
-            "phrase_embeddings": jnp.asarray(pos),
-            "relations": jnp.asarray(rel),
+            "boxes": self._to_global(np.asarray(batch["boxes"], np.float32)),
+            "masks": self._to_global(np.asarray(batch["masks"], np.float32)),
+            "phrase_embeddings": self._to_global(pos),
+            "relations": self._to_global(rel),
         }
-        return jax.tree.map(lambda x: jax.device_put(x, self._data_sharding), out)
 
     # -- training loop -------------------------------------------------------
 
@@ -239,8 +267,69 @@ class DiffusionTrainer:
                 iter_idx == cfg.total_iters - 1
                 or (iter_idx > 0 and iter_idx % cfg.save_every_iters == 0)
             ):
+                if not cfg.disable_inference_in_training:
+                    self.sample_previews(host_batch, iter_idx + 1)
                 self.save_ckpt(iter_idx + 1)
         self.logger.write("Training finished.")
+
+    # -- periodic sample previews (trainer_combined_layout.py:457-521) --------
+
+    def _combined_unet_params(self):
+        from .train_step import combine_params
+
+        return combine_params(
+            jax.tree.map(np.asarray, self.state.params), self.frozen_params)
+
+    def sample_previews(self, host_batch, iter_name: int):
+        """PLMS sample grid from the current params on a training batch
+        (reference: S=50, guidance 5, no alpha schedule)."""
+        from ..diffusion.samplers import make_step_tables, plms_sample
+        from ..models.vae import decode as vae_decode
+        from ..pipeline.inference import GligenModels, make_cfg_denoiser
+        from ..utils.images import save_image_grid
+
+        cfg = self.config
+        captions = list(host_batch["caption"])
+        b = len(captions)
+        params = self._combined_unet_params()
+        context, _ = clip_text_apply(self.clip_params, self.clip_cfg,
+                                     jnp.asarray(self.tokenizer(captions)))
+        uc, _ = clip_text_apply(self.clip_params, self.clip_cfg,
+                                jnp.asarray(self.tokenizer([""] * b)))
+        pos, rel = self._grounding_tensors(captions, host_batch["labels"])
+        cond = {
+            "context": context, "uc_context": uc,
+            "boxes": jnp.asarray(host_batch["boxes"], jnp.float32),
+            "masks": jnp.asarray(host_batch["masks"], jnp.float32),
+            "phrase_embeddings": jnp.asarray(pos),
+            "relations": jnp.asarray(rel),
+        }
+        models = GligenModels(
+            unet_cfg=self.unet_cfg, unet_params=params, vae_cfg=self.vae_cfg,
+            vae_params=self.vae_params, clip_cfg=self.clip_cfg,
+            clip_params=self.clip_params, schedule=self.schedule,
+            tokenizer=self.tokenizer,
+        )
+        tables = make_step_tables(self.schedule, cfg.preview_steps,
+                                  alpha_type=None)
+        denoise_core = make_cfg_denoiser(models, cfg.preview_guidance)
+        self.rng, r_noise = jax.random.split(self.rng)
+        noise = jax.random.normal(
+            r_noise, (b, self.unet_cfg.image_size, self.unet_cfg.image_size,
+                      self.unet_cfg.in_channels), jnp.float32)
+
+        def denoise(x, t, fscale, use_sd):
+            return denoise_core(params, None, cond, x, t, fscale, use_sd)
+
+        z = plms_sample(denoise, tables, noise)
+        imgs = vae_decode(self.vae_params, self.vae_cfg, z)
+        imgs = np.asarray(jnp.clip(imgs, -1.0, 1.0)) * 0.5 + 0.5
+        out_path = os.path.join(self.run_dir, f"samples_{iter_name:08d}.png")
+        save_image_grid(imgs, out_path, captions)
+        real = np.asarray(host_batch["image"]) * 0.5 + 0.5
+        save_image_grid(real, os.path.join(self.run_dir,
+                                           f"real_{iter_name:08d}.png"))
+        self.logger.write(f"saved sample previews to {out_path}")
 
     def save_ckpt(self, iter_name: int):
         payload = {"state": tuple(self.state), "iters": iter_name}
@@ -249,4 +338,14 @@ class DiffusionTrainer:
         path = os.path.join(self.run_dir, f"checkpoint_{iter_name:08d}")
         save_checkpoint(path, payload, cfg_dict)
         save_checkpoint(os.path.join(self.run_dir, "checkpoint_latest"), payload, cfg_dict)
+        if self.config.export_reference_ckpt:
+            from ..checkpoint.export import export_gligen_checkpoint
+
+            pth = os.path.join(self.run_dir, f"checkpoint_{iter_name:08d}.pth")
+            export_gligen_checkpoint(
+                pth, self._combined_unet_params(),
+                jax.tree.map(np.asarray, self.vae_params),
+                jax.tree.map(np.asarray, self.clip_params),
+                self.schedule, cfg_dict, iters=iter_name)
+            self.logger.write(f"exported reference-format ckpt to {pth}")
         self.logger.write(f"saved checkpoint to {path}")

@@ -52,8 +52,10 @@ class RLTrainer:
                  llm, train_examples: List[dict], cand_examples: List[dict],
                  feats_caps_train: np.ndarray, feats_caps_cand: np.ndarray,
                  batches, policy_params=None, logger: Optional[Logger] = None):
-        """generate_fn(captions, layouts_ltrb_with_labels) -> (B,H,W,3) [0,1]
-        images; llm(prompt) -> text; batches: iterable of
+        """generate_fn(captions, layouts_ltrb_with_labels, seed) -> (B,H,W,3)
+        [0,1] images — seed differs per rollout batch (the reference draws
+        fresh noise per sample, interface.py:478-551; a fixed seed biases the
+        REINFORCE rewards); llm(prompt) -> text; batches: iterable of
         (examples_chunk, gt_images, indices)."""
         self.c = config
         self.reward_model = reward_model
@@ -156,12 +158,25 @@ class RLTrainer:
         if not keep_rows:
             return 0.0, 0.0
 
-        imgs_pred = self.generate_fn(captions, layouts_pred)
-        rewards_kept = self.reward_model(
-            captions, imgs_pred, gt_images[keep_rows], layouts_pred, layouts_gt
+        # pad the generation/reward batch back to the chunk size by repeating
+        # the last kept row: the PLMS-50 program then compiles once per batch
+        # size instead of once per distinct kept-count (each extra signature
+        # costs a full sampler compile); padded rewards are masked out below
+        n_keep = len(keep_rows)
+        pad = len(chunk) - n_keep
+        captions_p = captions + [captions[-1]] * pad
+        layouts_pred_p = layouts_pred + [layouts_pred[-1]] * pad
+        layouts_gt_p = layouts_gt + [layouts_gt[-1]] * pad
+        gt_rows = keep_rows + [keep_rows[-1]] * pad
+        seed = int(self.rng.integers(2 ** 31 - 1))  # fresh noise per rollout
+
+        imgs_pred = self.generate_fn(captions_p, layouts_pred_p, seed=seed)
+        rewards_padded = self.reward_model(
+            captions_p, imgs_pred, gt_images[gt_rows], layouts_pred_p,
+            layouts_gt_p,
         )
         rewards = np.zeros((len(chunk),), dtype=np.float32)
-        rewards[keep_rows] = np.asarray(rewards_kept, dtype=np.float32)
+        rewards[keep_rows] = np.asarray(rewards_padded, dtype=np.float32)[:n_keep]
 
         loss, grads = self._loss_grad(
             self.params, emb_batch, jnp.asarray(chosen), jnp.asarray(rewards),

@@ -105,11 +105,15 @@ def make_loss_fn(cfg: TrainStepConfig):
     schedule = cfg.schedule
     predicate = TRAINABLE_MODES[cfg.trainable_mode]
 
-    def unet_fwd(params, unet_cfg, *args):
-        # training runs the XLA attention path: the Pallas flash kernel is
-        # forward-only (no VJP yet — round-2 item); with remat the attention
-        # probabilities are recomputed in backward rather than stored
-        return unet_apply(params, unet_cfg, *args, attn_impl="xla")
+    def unet_fwd(params, unet_cfg, x, t, context, boxes, masks, pos,
+                 relations, grounding_extra):
+        # 'auto' dispatches long self-attention to the Pallas flash kernel,
+        # which carries a custom VJP (recompute-softmax backward kernels,
+        # ops/pallas/flash_attention.py) — the O(N^2) score matrix is never
+        # stored, so remat over attention is unnecessary on the flash path
+        return unet_apply(params, unet_cfg, x, t, context, boxes, masks, pos,
+                          relations, grounding_extra=grounding_extra,
+                          attn_impl="auto")
 
     if cfg.remat:
         unet_fwd = jax.checkpoint(
@@ -142,8 +146,12 @@ def make_loss_fn(cfg: TrainStepConfig):
         masks = batch["masks"] * keep
         pos = batch["phrase_embeddings"] * keep
 
+        # extra input channels from a condition-map downsampler ride through
+        # the grounding drop untouched (openaimodel.py:433-435 applies the
+        # downsampler unconditionally; only tokenizer input is dropped)
         eps = unet_fwd(params, cfg.unet_cfg, x_noisy, t, batch["context"],
-                       boxes, masks, pos, batch["relations"])
+                       boxes, masks, pos, batch["relations"],
+                       batch.get("grounding_extra"))
         return jnp.mean((eps - noise) ** 2)
 
     return loss_fn

@@ -1,5 +1,6 @@
 """Attention core: XLA path vs torch einsum reference; flash kernel parity."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import torch
 import pytest
@@ -59,11 +60,38 @@ def test_flash_matches_xla(rng, n, m, c):
     v = rng.standard_normal((B, H, m, c), dtype=np.float32)
     scale = c ** -0.5
     out = np.asarray(
-        flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale,
-                        interpret=True)
+        flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale,
+                        256, 512, True)
     )
     sim = np.einsum("bhnc,bhmc->bhnm", q, k) * scale
     attn = np.exp(sim - sim.max(-1, keepdims=True))
     attn = attn / attn.sum(-1, keepdims=True)
     ref = np.einsum("bhnm,bhmc->bhnc", attn, v)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("n,m,c", [(256, 256, 40), (300, 280, 64)])
+def test_flash_grads_match_xla(rng, n, m, c):
+    """Flash backward kernels (recompute-softmax VJP) vs XLA attention grads,
+    including padded/ragged sequence lengths."""
+    B, H = 1, 2
+    q = jnp.asarray(rng.standard_normal((B, H, n, c), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, m, c), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, m, c), dtype=np.float32))
+    scale = c ** -0.5
+    w = jnp.asarray(rng.standard_normal((B, H, n, c), dtype=np.float32))
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, scale, 128, 128, True)
+        return jnp.sum(out * w)
+
+    def loss_xla(q, k, v):
+        sim = jnp.einsum("bhnc,bhmc->bhnm", q, k) * scale
+        attn = jax.nn.softmax(sim, axis=-1)
+        return jnp.sum(jnp.einsum("bhnm,bhmc->bhnc", attn, v) * w)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=f"d{name}")

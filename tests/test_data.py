@@ -61,3 +61,36 @@ def test_grow_first_conv():
     w = out["input_blocks"]["0"]["0"]["weight"]
     assert w.shape == (3, 3, 9, 8)
     assert (w[:, :, :4] == 1).all() and (w[:, :, 4:] == 0).all()
+
+
+def test_dataset_catalog_registrations(tmp_path):
+    """Catalog mirrors the reference registry names (catalog.py:3-149) and
+    actually builds datasets."""
+    from PIL import Image
+    import numpy as _np
+
+    from layoutllm_t2i_tpu.data.concat import DATASET_CATALOG, build_datasets
+
+    expected = {
+        "VGGrounding", "FlickrGrounding", "SBUGrounding", "CC3MGrounding",
+        "CC12MGrounding", "Obj365Detection", "CC3MGroundingHed",
+        "CC3MGroundingCanny", "CC3MGroundingDepth", "DIODENormal",
+        "ADESemantic", "COCO2017Keypoint", "COCO2014Layout", "COCOKeypoint",
+    }
+    assert expected <= set(DATASET_CATALOG)
+
+    img_dir = tmp_path / "imgs"
+    cond_dir = tmp_path / "maps"
+    img_dir.mkdir()
+    cond_dir.mkdir()
+    arr = (_np.random.default_rng(0).uniform(0, 255, (32, 32, 3))).astype("uint8")
+    Image.fromarray(arr).save(img_dir / "a.png")
+    Image.fromarray(arr[:, :, 0]).save(cond_dir / "a.png")
+
+    (ds,) = build_datasets(
+        {"DIODENormal": dict(image_dir=str(img_dir), condition_dir=str(cond_dir),
+                             image_size=32)},
+        ROOT=str(tmp_path),
+    )
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)

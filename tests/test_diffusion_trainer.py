@@ -49,3 +49,41 @@ def test_trainer_runs_and_resumes(tmp_path):
     tr2 = DiffusionTrainer(cfg, data, models=tiny_models())
     assert tr2.run_dir == run
     assert tr2.starting_iter >= 2
+
+
+def test_trainer_previews_and_pth_export(tmp_path):
+    """Periodic PLMS preview grid + reference-format .pth export with an exact
+    round-trip through the reference loader (VERDICT r1 item 5)."""
+    cfg = TrainerConfig(output_root=str(tmp_path), name="p", batch_size=2,
+                        total_iters=3, save_every_iters=2, log_every=1,
+                        warmup_steps=1, max_boxes=30, max_relations=5,
+                        disable_inference_in_training=False, preview_steps=2,
+                        export_reference_ckpt=True)
+    data = synthetic_layout_batches(cfg.batch_size, image_size=16, max_boxes=30)
+    tr = DiffusionTrainer(cfg, data, models=tiny_models())
+    tr.train()
+    run = tr.run_dir
+    assert os.path.exists(os.path.join(run, "samples_00000003.png"))
+    assert os.path.exists(os.path.join(run, "samples_00000003.txt"))
+    pth = os.path.join(run, "checkpoint_00000003.pth")
+    assert os.path.exists(pth)
+
+    # round-trip: .pth -> load_gligen_checkpoint -> identical pytrees
+    from layoutllm_t2i_tpu.checkpoint.convert import load_gligen_checkpoint
+
+    params, config, extras = load_gligen_checkpoint(pth)
+    assert extras["iters"] == 3
+    assert config["name"] == "p"
+
+    want = {"unet": tr._combined_unet_params(),
+            "vae": jax.tree.map(np.asarray, tr.vae_params),
+            "clip_text": jax.tree.map(np.asarray, tr.clip_params)}
+    for mod in ("unet", "vae", "clip_text"):
+        got_leaves = jax.tree_util.tree_leaves_with_path(params[mod])
+        want_flat = {jax.tree_util.keystr(p): np.asarray(v)
+                     for p, v in jax.tree_util.tree_leaves_with_path(want[mod])}
+        assert len(got_leaves) == len(want_flat), mod
+        for path, leaf in got_leaves:
+            np.testing.assert_allclose(
+                np.asarray(leaf), want_flat[jax.tree_util.keystr(path)],
+                atol=1e-6, err_msg=f"{mod}{jax.tree_util.keystr(path)}")

@@ -1,0 +1,91 @@
+"""Fused Pallas GroupNorm/LayerNorm kernels vs the plain-XLA reference math.
+
+Kernels run in interpreter mode on CPU (same code path the TPU compiles);
+the backward is the custom-VJP recompute and must match XLA grads exactly.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from layoutllm_t2i_tpu.ops.pallas.norms import (
+    _gn_pallas, _gn_reference, _ln_pallas, _ln_reference,
+    group_norm_silu, layer_norm_fused,
+)
+
+
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 8, 8, 128), 32),     # eligible: C%128==0
+    ((1, 16, 16, 256), 32),
+    ((2, 4, 4, 384), 32),     # C=384 -> cg=12
+])
+@pytest.mark.parametrize("silu", [False, True])
+def test_group_norm_kernel(rng, shape, groups, silu):
+    x = rng.standard_normal(shape).astype(np.float32)
+    gamma = rng.uniform(0.5, 1.5, shape[-1]).astype(np.float32)
+    beta = rng.uniform(-0.5, 0.5, shape[-1]).astype(np.float32)
+    ref = _gn_reference(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta),
+                        groups, 1e-5, silu)
+    out = _gn_pallas(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta),
+                     groups, 1e-5, silu, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_group_norm_kernel_bf16(rng):
+    x = rng.standard_normal((2, 8, 8, 128)).astype(np.float32)
+    gamma = np.ones(128, np.float32)
+    beta = np.zeros(128, np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    ref = _gn_reference(xb, jnp.asarray(gamma), jnp.asarray(beta), 32, 1e-5, True)
+    out = _gn_pallas(xb, jnp.asarray(gamma), jnp.asarray(beta), 32, 1e-5, True,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_group_norm_fallback_shapes(rng):
+    # C not a lane multiple -> must silently fall back to the XLA math
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 64)).astype(np.float32))
+    gamma = jnp.ones(64)
+    beta = jnp.zeros(64)
+    out = group_norm_silu(x, gamma, beta, 32, 1e-5, False)
+    ref = _gn_reference(x, gamma, beta, 32, 1e-5, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_group_norm_grad_matches_xla(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 128)).astype(np.float32))
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, 128).astype(np.float32))
+    beta = jnp.asarray(rng.uniform(-0.5, 0.5, 128).astype(np.float32))
+
+    def loss_fused(x, g, b):
+        return jnp.sum(group_norm_silu(x, g, b, 32, 1e-5, True) ** 2)
+
+    def loss_ref(x, g, b):
+        return jnp.sum(_gn_reference(x, g, b, 32, 1e-5, True) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, gamma, beta)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("rows,c", [(64, 128), (1024, 384), (8, 768)])
+def test_layer_norm_kernel(rng, rows, c):
+    x = rng.standard_normal((rows, c)).astype(np.float32)
+    gamma = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    beta = rng.uniform(-0.5, 0.5, c).astype(np.float32)
+    ref = _ln_reference(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), 1e-5)
+    out = _ln_pallas(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), 1e-5,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_layer_norm_grad_matches_xla(rng):
+    x = jnp.asarray(rng.standard_normal((3, 16, 128)).astype(np.float32))
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, 128).astype(np.float32))
+    beta = jnp.zeros(128)
+
+    g1 = jax.grad(lambda x: jnp.sum(layer_norm_fused(x, gamma, beta, 1e-5) ** 2))(x)
+    g2 = jax.grad(lambda x: jnp.sum(_ln_reference(x, gamma, beta, 1e-5) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)

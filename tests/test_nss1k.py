@@ -41,3 +41,60 @@ def test_run_bench(tmp_path):
     # identical unit features -> cos=1 -> clip score 2.5
     assert abs(out["clip_score_mean"] - 2.5) < 1e-5
     assert out["sec_per_image"] > 0
+
+
+def test_run_bench_planner_metrics(tmp_path):
+    """Planner mode: per-example layout mIoU/DocSim vs GT are reported."""
+    from layoutllm_t2i_tpu.eval.nss1k import run_bench
+
+    examples = [
+        {"img_id": 1, "name": "a.jpg", "width": 640, "height": 480,
+         "bbox": [[0.5, 0.5, 0.4, 0.4]], "label": ["dog"],
+         "captions": "a dog in a park"},
+        {"img_id": 2, "name": "b.jpg", "width": 640, "height": 480,
+         "bbox": [[0.3, 0.3, 0.2, 0.2]], "label": ["cat"],
+         "captions": "a cat on a couch"},
+    ]
+
+    class Scorer(StubScorer):
+        def _layout_ids(self, layouts, close_set):
+            return [(np.asarray(b, np.float64), np.zeros(len(b), np.int32))
+                    for b, _l in layouts]
+
+    # planner predicts the exact GT layout (xywh top-left) -> perfect metrics
+    def planner_fn(captions):
+        out = []
+        for cap in captions:
+            ex = examples[0] if "dog" in cap else examples[1]
+            xc, yc, w, h = ex["bbox"][0]
+            out.append((list(ex["label"]), [[xc - w / 2, yc - h / 2, w, h]]))
+        return out
+
+    pipe = InferencePipeline(random_models(small=True), steps=2, sampler="plms",
+                             guidance_scale=7.5)
+    out = run_bench(pipe, Scorer(), examples, batch_size=2, planner_fn=planner_fn)
+    assert out["layout_parsed"] == 2
+    assert abs(out["layout_miou"] - 1.0) < 1e-6
+    # DocSim of an exact match is area-weighted (alpha = min_area^0.5,
+    # tools/metrics.py:93-125): dog 0.4^2->0.4, cat 0.2^2->0.2, mean 0.3
+    assert abs(out["layout_docsim"] - 0.3) < 1e-6
+
+
+def test_run_all_splits(tmp_path):
+    """Per-split reporting over the five NSS1K files + weighted overall."""
+    import json as _json
+
+    from layoutllm_t2i_tpu.eval.nss1k import SPLIT_FILES, run_all_splits
+
+    ex = {"img_id": 1, "name": "a.jpg", "width": 640, "height": 480,
+          "bbox": [[0.5, 0.5, 0.4, 0.4]], "label": ["dog"],
+          "captions": "a dog"}
+    for fname in SPLIT_FILES.values():
+        (tmp_path / fname).write_text(_json.dumps([ex]))  # bare-list schema
+
+    pipe = InferencePipeline(random_models(small=True), steps=2, sampler="plms",
+                             guidance_scale=7.5)
+    out = run_all_splits(pipe, StubScorer(), str(tmp_path), batch_size=1)
+    assert set(out) == set(SPLIT_FILES) | {"overall"}
+    assert out["overall"]["n"] == 5
+    assert abs(out["overall"]["clip_score_mean"] - 2.5) < 1e-5

@@ -72,13 +72,18 @@ def test_rl_trainer_smoke(tmp_path, pipe):
     ]
 
     def fake_llm(prompt):
+        if "caption 1" in prompt:   # unparseable -> row dropped, batch padded
+            return "no layout here"
         return "output:\ndog: [0.30, 0.30, 0.40, 0.40]"
 
     class FakeReward:
         def __call__(self, captions, imgs_pred, imgs_gt, lp, lg):
             return np.ones(len(captions), dtype=np.float32)
 
-    def generate_fn(captions, layouts):
+    gen_calls = []
+
+    def generate_fn(captions, layouts, seed=None):
+        gen_calls.append((len(captions), seed))
         return np.zeros((len(captions), 16, 16, 3), np.float32)
 
     class Batches:
@@ -99,6 +104,12 @@ def test_rl_trainer_smoke(tmp_path, pipe):
     assert (tmp_path / "history.json").exists()
     assert (tmp_path / "ckpt_best_reward.pkl").exists()
     assert not np.array_equal(p0, np.asarray(tr.params["linear"]["weight"]))
+    # RL fidelity: fresh noise per rollout batch (distinct seeds) and a
+    # constant generation batch size (padded to the chunk size, so the jitted
+    # PLMS program compiles once even when predictions are dropped)
+    seeds = [s for _, s in gen_calls]
+    assert len(set(seeds)) == len(seeds) and None not in seeds
+    assert set(b for b, _ in gen_calls) == {2}
     # resume path
     cfg2 = RLConfig(epochs=1, batch_size=2, shot_number=2, embedding_size=8,
                     in_dim=32, ckpt_path=str(tmp_path), resume=str(tmp_path))

@@ -87,3 +87,34 @@ def test_train_step_on_data_mesh(setup):
     new_state, loss = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     assert int(new_state.step) == 1
+
+
+def test_train_step_with_condition_map_channels():
+    """Training smoke with additional_in_channels>0: a condition-map
+    downsampler output concatenates to the UNet input (openaimodel.py:433-435)
+    and the step still optimizes (VERDICT r1 item 6)."""
+    from layoutllm_t2i_tpu.models.grounding_extras import (
+        grounding_downsampler, init_grounding_downsampler)
+
+    cfg = UNetConfig(image_size=8, model_channels=32, num_res_blocks=1,
+                     attention_resolutions=(2, 1), channel_mult=(1, 2),
+                     num_heads=2, context_dim=16, grounding_in_dim=16,
+                     grounding_out_dim=16, additional_in_channels=8)
+    params = init_unet_params(jax.random.PRNGKey(0), cfg)
+    schedule = make_ddpm_schedule("linear", 1000, 0.00085, 0.012)
+    tcfg = TrainStepConfig(unet_cfg=cfg, schedule=schedule,
+                           trainable_mode="gligen", learning_rate=1e-2,
+                           warmup_steps=0, total_steps=10,
+                           grounding_drop_prob=0.0)
+    state = init_train_state(tcfg, params)
+    step = jax.jit(make_train_step(tcfg, params))
+
+    batch = _batch(cfg)
+    # synthetic condition map -> downsampler -> (B, 8, 8, 8) extra channels
+    dparams = init_grounding_downsampler(jax.random.PRNGKey(1), 8)
+    cmap = jnp.ones((2, 32, 32, 1), jnp.float32) * 0.5
+    batch["grounding_extra"] = grounding_downsampler(dparams, cmap,
+                                                     resize_input=32)
+    assert batch["grounding_extra"].shape == (2, 8, 8, 8)
+    state, loss = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
