@@ -48,10 +48,15 @@ def parse_args(argv=None):
     p.add_argument("--no_relation", action="store_true",
                    help="vanilla GLIGEN UNet (no relation-aware layer)")
     p.add_argument("--modality", default="box_text",
-                   choices=["box_text", "canny", "hed", "depth", "normal",
-                            "sem", "keypoint"])
+                   choices=["box_text", "text_image", "canny", "hed", "depth",
+                            "normal", "sem", "keypoint"])
     p.add_argument("--map_path", type=str, default=None,
                    help="condition-map image for the map modalities")
+    p.add_argument("--image_refs", type=str, default=None,
+                   help="text_image mode: ';'-separated reference image paths"
+                        " paired with the --layout boxes ('-' skips a box)")
+    p.add_argument("--clip_vision_ckpt", type=str, default=None,
+                   help="converted CLIP .pth for the image-reference tower")
     p.add_argument("--keypoints", type=str, default=None,
                    help="'x,y;x,y;...' normalized, 17 per person, persons "
                         "separated by '|'")
@@ -76,14 +81,72 @@ def _parse_keypoints(spec: str, max_persons: int):
     return points, masks
 
 
+def _image_ref_grounding(args, models, cond):
+    """text_image mode: per-box CLIP image embeddings from reference images
+    (reference gligen_inference.py builds these via get_clip_feature; TSV
+    training data stores them 'after_reproject' at norm 28.7,
+    tsv_dataset.py:193)."""
+    from PIL import Image
+
+    from ..models.clip_vision import (
+        CLIPVisionConfig, clip_image_features, init_clip_vision_params,
+        preprocess_images)
+
+    if args.clip_vision_ckpt:
+        import torch
+
+        from ..checkpoint.convert import nest_state_dict
+
+        tree = nest_state_dict(torch.load(args.clip_vision_ckpt,
+                                          map_location="cpu",
+                                          weights_only=False))
+        vision_cfg = CLIPVisionConfig()
+        vision_params = {"vision_model": tree["vision_model"],
+                         "visual_projection": tree["visual_projection"]}
+    else:
+        vision_cfg = (CLIPVisionConfig(num_layers=2, hidden_size=64,
+                                       num_heads=4, intermediate_size=128,
+                                       projection_dim=768)
+                      if args.small else CLIPVisionConfig())
+        vision_params = init_clip_vision_params(jax.random.PRNGKey(args.seed),
+                                                vision_cfg)
+
+    refs = args.image_refs.split(";")
+    mo = cond["boxes"].shape[1]
+    emb = np.zeros((args.batch_size, mo, 768), np.float32)
+    image_masks = np.zeros((args.batch_size, mo), np.float32)
+    for bi, ref in enumerate(refs):
+        if ref == "-":
+            continue
+        img = Image.open(ref).convert("RGB")
+        x = np.asarray(img, np.float32)[None] / 255.0
+        feat = clip_image_features(vision_params, vision_cfg,
+                                   preprocess_images(jnp.asarray(x), vision_cfg))
+        feat = np.asarray(feat)[0]
+        feat = feat / max(np.linalg.norm(feat), 1e-6) * 28.7  # after_reproject
+        emb[:, bi] = feat
+        image_masks[:, bi] = 1.0
+    return {
+        "text_masks": cond["masks"],
+        "image_masks": jnp.asarray(image_masks),
+        "image_embeddings": jnp.asarray(emb),
+    }
+
+
 def main(argv=None):
     args = parse_args(argv)
-    box_mode = args.modality == "box_text"
+    box_mode = args.modality in ("box_text", "text_image")
     # validate modality inputs up front — model construction takes minutes
     if box_mode:
-        assert args.layout, "--layout is required for box_text"
+        assert args.layout, f"--layout is required for {args.modality}"
         cats, boxes_xywh = extract_prediction(args.layout)
         boxes_ltrb = [convert_xywh_to_ltrb(b) for b in boxes_xywh]
+        if args.modality == "text_image":
+            assert args.image_refs, "--image_refs is required for text_image"
+            refs = args.image_refs.split(";")
+            assert len(refs) == len(boxes_ltrb), (
+                f"--image_refs has {len(refs)} entries for {len(boxes_ltrb)} "
+                "boxes ('-' skips a box)")
     else:
         cats, boxes_ltrb = [], []
         if args.modality == "keypoint":
@@ -101,14 +164,15 @@ def main(argv=None):
 
         models.unet_cfg = dataclasses.replace(models.unet_cfg,
                                               use_relation_attention=False)
-    if not box_mode:
+    if args.modality != "box_text":
         from ..pipeline.loaders import adapt_models_for_modality
 
         models = adapt_models_for_modality(models, args.modality,
                                            seed=args.seed)
-        # grounding stays on for all steps: the SD first-conv restore cannot
-        # apply over the extra downsampler channels
-        args.alpha = [1.0, 0.0, 0.0]
+        if not box_mode:
+            # grounding stays on for all steps: the SD first-conv restore
+            # cannot apply over the extra downsampler channels
+            args.alpha = [1.0, 0.0, 0.0]
 
     steps = 250 if args.no_plms else 50
     if args.small:
@@ -130,7 +194,9 @@ def main(argv=None):
     if args.negative_prompt:
         cond["uc_context"] = pipe.encode_text([args.negative_prompt] * args.batch_size)
 
-    if args.modality in ("canny", "hed", "depth", "normal", "sem"):
+    if args.modality == "text_image":
+        cond["extra_grounding"] = _image_ref_grounding(args, models, cond)
+    elif args.modality in ("canny", "hed", "depth", "normal", "sem"):
         from PIL import Image
 
         from ..models.grounding_extras import grounding_downsampler

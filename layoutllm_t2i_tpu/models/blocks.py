@@ -62,6 +62,10 @@ def init_ff(key, dim, mult: int = 4):
 
 
 def gated_self_attention(p, x, objs, heads: int, scale, impl: str = "auto"):
+    # the scanned fuser_scale arrives as a traced f32 scalar; without the
+    # cast, f32 * bf16 promotes every activation downstream of the first
+    # fuser to f32 (round-1 silently ran most of the UNet in f32)
+    scale = jnp.asarray(scale).astype(x.dtype)
     n_visual = x.shape[1]
     objs = nn.linear(p["linear"], objs)
     cat = jnp.concatenate([x, objs], axis=1)
@@ -75,6 +79,7 @@ def gated_self_attention(p, x, objs, heads: int, scale, impl: str = "auto"):
 
 
 def gated_cross_attention(p, x, objs, heads: int, scale, impl: str = "auto"):
+    scale = jnp.asarray(scale).astype(x.dtype)
     x = x + scale * jnp.tanh(p["alpha_attn"]) * cross_attention(
         p["attn"], nn.layer_norm(p["norm1"], x), objs, objs, heads, impl=impl
     )
@@ -87,6 +92,7 @@ def gated_cross_attention(p, x, objs, heads: int, scale, impl: str = "auto"):
 def gated_self_attention2(p, x, objs, heads: int, scale, impl: str = "auto"):
     """Interpolating variant (attention.py:237-281): grounding-token slice is
     resized to the visual grid with bicubic interpolation and added."""
+    scale = jnp.asarray(scale).astype(x.dtype)
     b, n_visual, _ = x.shape
     n_ground = objs.shape[1]
     size_v = int(round(n_visual ** 0.5))
@@ -174,6 +180,7 @@ def relation_cross_attention(p, x, relations, boxes, masks, h: int, w: int,
     """
     b, hw, c = x.shape
     mo = boxes.shape[1]
+    scale = jnp.asarray(scale).astype(x.dtype)
     hidden = nn.layer_norm(p["norm3"], x)
 
     region, _ = rasterize_boxes(boxes, masks, h, w)

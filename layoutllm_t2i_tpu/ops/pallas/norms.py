@@ -26,14 +26,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# per-block VMEM budget for the activation tile (bf16 4096x960 = 7.9MB)
-_GN_BLOCK_BYTES = 9 * 1024 * 1024
+# per-block VMEM budget for the activation tile. Mosaic double-buffers the
+# input AND output blocks (4x the block bytes resident), so the ceiling for a
+# single block is ~16MB/4 minus the f32 row-tile temporaries; wide-channel
+# sites split along the GROUP axis instead (stats are per-group, so group
+# chunks are fully independent — the one-pass property is preserved).
+_GN_BLOCK_BYTES = int(2.5 * 1024 * 1024)
 _ROW_TILE = 512  # HW rows processed per inner iteration
+
+
+def _gn_group_chunks(hw: int, c: int, num_groups: int, itemsize: int):
+    """Smallest k (dividing num_groups) whose (1, HW, C/k) block fits the
+    budget; None if even per-group blocks are too large."""
+    for k in range(1, num_groups + 1):
+        if num_groups % k or c % k:
+            continue
+        ck_padded = max(c // k, -(-(c // k) // 128) * 128)  # lane padding
+        if hw * ck_padded * itemsize <= _GN_BLOCK_BYTES:
+            return k
+    return None
 
 
 def _gn_kernel(x_ref, g_ref, b_ref, o_ref, *, num_groups: int, eps: float,
                silu: bool, row_tile: int):
-    """x_ref: (1, HW, C). One batch sample per program."""
+    """x_ref: (1, HW, C/k) — one (batch sample, group chunk) per program;
+    num_groups is the group count WITHIN the chunk."""
     hw, c = x_ref.shape[1], x_ref.shape[2]
     cg = c // num_groups
     n_tiles = hw // row_tile
@@ -79,28 +96,29 @@ def _gn_kernel(x_ref, g_ref, b_ref, o_ref, *, num_groups: int, eps: float,
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "eps", "silu",
-                                             "interpret"))
+                                             "interpret", "k"))
 def _gn_pallas(x, gamma, beta, num_groups: int, eps: float, silu: bool,
-               interpret: bool):
+               interpret: bool, k: int = 1):
     n, h, w, c = x.shape
     hw = h * w
     row_tile = min(_ROW_TILE, hw)
     while hw % row_tile:
         row_tile //= 2
     xr = x.reshape(n, hw, c)
-    kernel = functools.partial(_gn_kernel, num_groups=num_groups, eps=eps,
+    ck = c // k
+    kernel = functools.partial(_gn_kernel, num_groups=num_groups // k, eps=eps,
                                silu=silu, row_tile=row_tile)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
-        grid=(n,),
+        grid=(n, k),
         in_specs=[
-            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, hw, ck), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((ck,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ck,), lambda i, j: (j,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, hw, ck), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xr, gamma, beta)
@@ -122,20 +140,17 @@ def _gn_reference(x, gamma, beta, num_groups: int, eps: float, silu: bool):
     return y.astype(x.dtype)
 
 
-def _gn_eligible(x) -> bool:
-    n, h, w, c = x.shape
-    return (h * w) % 8 == 0 and c % 128 == 0 and \
-        h * w * c * x.dtype.itemsize <= _GN_BLOCK_BYTES
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def group_norm_silu(x, gamma, beta, num_groups: int = 32, eps: float = 1e-5,
                     silu: bool = False):
     """Fused GroupNorm(+SiLU) over NHWC with f32 statistics."""
     interpret = jax.default_backend() != "tpu"
-    if not _gn_eligible(x):
+    n, h, w, c = x.shape
+    k = (_gn_group_chunks(h * w, c, num_groups, x.dtype.itemsize)
+         if (h * w) % 8 == 0 and c % num_groups == 0 else None)
+    if k is None:
         return _gn_reference(x, gamma, beta, num_groups, eps, silu)
-    return _gn_pallas(x, gamma, beta, num_groups, eps, silu, interpret)
+    return _gn_pallas(x, gamma, beta, num_groups, eps, silu, interpret, k)
 
 
 def _gn_fwd(x, gamma, beta, num_groups, eps, silu):

@@ -126,6 +126,10 @@ def adapt_models_for_modality(models: GligenModels, modality: str,
         new_cfg = dataclasses.replace(
             models.unet_cfg, grounding_type="keypoint",
             max_persons_per_image=max_persons, use_relation_attention=False)
+    elif modality == "text_image":
+        new_cfg = dataclasses.replace(
+            models.unet_cfg, grounding_type="text_image",
+            use_relation_attention=False)
     else:
         return models
 

@@ -89,3 +89,45 @@ def test_layer_norm_grad_matches_xla(rng):
     g1 = jax.grad(lambda x: jnp.sum(layer_norm_fused(x, gamma, beta, 1e-5) ** 2))(x)
     g2 = jax.grad(lambda x: jnp.sum(_ln_reference(x, gamma, beta, 1e-5) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_group_norm_group_chunked(rng):
+    """Wide-channel sites split along the group axis (VMEM budget); group
+    chunks must be numerically identical to the single-block kernel."""
+    from layoutllm_t2i_tpu.ops.pallas.norms import _gn_group_chunks
+
+    x = rng.standard_normal((1, 16, 16, 1920)).astype(np.float32)
+    gamma = rng.uniform(0.5, 1.5, 1920).astype(np.float32)
+    beta = rng.uniform(-0.5, 0.5, 1920).astype(np.float32)
+    ref = _gn_reference(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta),
+                        32, 1e-5, True)
+    for k in (2, 4, 8):
+        out = _gn_pallas(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta),
+                         32, 1e-5, True, interpret=True, k=k)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # budget selection: huge f32 block picks a k > 1 dividing the groups
+    k = _gn_group_chunks(4096, 1920, 32, 4)
+    assert k is not None and 32 % k == 0
+    assert 4096 * (1920 // k) * 4 <= 2.5 * 1024 * 1024
+    # 512^2 VAE site cannot fit even per-group -> fallback
+    assert _gn_group_chunks(512 * 512, 128, 32, 2) is None
+
+
+def test_fuser_scale_keeps_bf16():
+    """A traced f32 fuser_scale must not promote activations to f32
+    (round-1 silently ran most of the UNet in f32 through this)."""
+    import jax
+
+    from layoutllm_t2i_tpu.models.blocks import (
+        gated_self_attention, init_gated_self_attention)
+
+    p = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                     init_gated_self_attention(jax.random.PRNGKey(0), 32, 24, 2, 16))
+    x = jnp.ones((1, 16, 32), jnp.bfloat16)
+    objs = jnp.ones((1, 4, 24), jnp.bfloat16)
+
+    def f(scale):
+        return gated_self_attention(p, x, objs, 2, scale)
+
+    out = jax.eval_shape(f, jnp.float32(0.5))
+    assert out.dtype == jnp.bfloat16
