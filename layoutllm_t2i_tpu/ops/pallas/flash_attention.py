@@ -42,7 +42,13 @@ def _lse_row(m_col, l_col):
     return jnp.transpose(m_col + jnp.log(l_col), (1, 0))
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+# The softmax denominator rides in the PV matmul: V carries an appended ones
+# column, so the row-sum of p lands in the accumulator's last column as MXU
+# work instead of a VPU reduction over every score element. acc layout is
+# therefore (BQ, Cv+1) with acc[:, -1] == l.
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
                   block_k: int, kv_len: int, scale: float, num_kb: int,
                   need_lse: bool):
     ki = pl.program_id(2)
@@ -50,12 +56,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     @pl.when(ki == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (BQ, C)
     k = k_ref[0]                                      # (BK, C)
-    v = v_ref[0]
+    v = v_ref[0]                                      # (BK, Cv+1), ones col
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (BQ, BK)
@@ -63,24 +68,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     s = jnp.where(col < kv_len, s, _NEG_INF)
 
     m_prev = m_scr[:, :1]
-    l_prev = l_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
-    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     # PV matmul in the input dtype (bf16): halves the MXU operand traffic;
     # the accumulator stays f32 via preferred_element_type
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(ki == num_kb - 1)
     def _finish():
-        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        acc = acc_scr[:]
+        o_ref[0] = (acc[:, :-1] / acc[:, -1:]).astype(o_ref.dtype)
         if need_lse:
-            lse_ref[:] = _lse_row(m_scr[:, :1], l_scr[:, :1])
+            lse_ref[:] = _lse_row(m_scr[:, :1], acc[:, -1:])
 
 
 def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
@@ -91,14 +94,14 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     block_q, cp = q.shape
     mp = k_ref.shape[1]
+    cv1 = v_ref.shape[2]
     num_kb = mp // block_k
 
     m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc0 = jnp.zeros((block_q, cp), dtype=jnp.float32)
+    acc0 = jnp.zeros((block_q, cv1), dtype=jnp.float32)
 
     def body(j, carry):
-        m_i, l_i, acc = carry
+        m_i, acc = carry
         k = k_ref[0, pl.ds(j * block_k, block_k), :]
         v = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -108,16 +111,15 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
             p.astype(v_ref.dtype), v.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+        return m_new, acc_new
 
-    m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+    m_i, acc = jax.lax.fori_loop(0, num_kb, body, (m0, acc0))
+    o_ref[0] = (acc[:, :-1] / acc[:, -1:]).astype(o_ref.dtype)
     if need_lse:
-        lse_ref[:] = _lse_row(m_i, l_i)
+        lse_ref[:] = _lse_row(m_i, acc[:, -1:])
 
 
 # keep total VMEM well under the 16MB budget (K+V resident, double-buffered
@@ -132,11 +134,11 @@ _FULLKV_VMEM_BYTES = 4 * 1024 * 1024
 )
 def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
               interpret: bool, need_lse: bool = False):
-    """q: (BH, Np, Cp), k/v: (BH, Mp, Cp) — padded; kv_len is the true M.
-
-    Returns out or (out, lse) with lse: (BH, Np) float32."""
+    """q/k: (BH, Np/Mp, Cp), v: (BH, Mp, Cp+1) with the appended ones column;
+    kv_len is the true M. Returns out or (out, lse), lse: (BH, Np) f32."""
     bh, np_, cp = q.shape
     mp = k.shape[1]
+    cv1 = v.shape[2]
     num_kb = mp // block_k
     kv_bytes = 2 * mp * cp * q.dtype.itemsize
 
@@ -166,7 +168,7 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, mp, cp), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, mp, cp), lambda b, i: (b, 0, 0),
+                pl.BlockSpec((1, mp, cv1), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=tuple(out_specs),
@@ -188,14 +190,13 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, cp), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, cp), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, block_k, cv1), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),   # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
-            pltpu.VMEM((block_q, cp), jnp.float32),    # accumulator
+            pltpu.VMEM((block_q, cv1), jnp.float32),   # accumulator (+l col)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -365,13 +366,20 @@ def _prep(q, k, v, block_q, block_k, interpret):
     return qf, kf, vf, block_q, block_k, interpret
 
 
+def _ones_col(vf):
+    """Append the denominator column (see kernel docstring)."""
+    bh, mp, _ = vf.shape
+    return jnp.concatenate([vf, jnp.ones((bh, mp, 1), vf.dtype)], axis=-1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(q, k, v, scale, block_q=256, block_k=512, interpret=None):
     """q: (B, H, N, C), k/v: (B, H, M, C) -> (B, H, N, C). Differentiable."""
     b, h, n, c = q.shape
     m = k.shape[2]
     qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret)
-    out = _flash_bh(qf, kf, vf, scale, bq, bk, m, interp, need_lse=False)
+    out = _flash_bh(qf, kf, _ones_col(vf), scale, bq, bk, m, interp,
+                    need_lse=False)
     return out[:, :n, :].reshape(b, h, n, c)
 
 
@@ -379,7 +387,8 @@ def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
     b, h, n, c = q.shape
     m = k.shape[2]
     qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret)
-    out, lse = _flash_bh(qf, kf, vf, scale, bq, bk, m, interp, need_lse=True)
+    out, lse = _flash_bh(qf, kf, _ones_col(vf), scale, bq, bk, m, interp,
+                         need_lse=True)
     return out[:, :n, :].reshape(b, h, n, c), (qf, kf, vf, out, lse, bq, bk,
                                                interp, n, m)
 
