@@ -95,3 +95,35 @@ def test_flash_grads_match_xla(rng, n, m, c):
     for a, b, name in zip(g1, g2, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
                                    err_msg=f"d{name}")
+
+
+def test_flash_streaming_path_matches_xla(rng, monkeypatch):
+    """Force the streaming (3-D grid, scratch-accumulator) kernel — the path
+    the 4096x512 VAE attention takes — instead of the full-KV variant."""
+    import layoutllm_t2i_tpu.ops.pallas.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_FULLKV_VMEM_BYTES", 0)
+    B, H, n, m, c = 1, 2, 384, 300, 64
+    q = rng.standard_normal((B, H, n, c), dtype=np.float32)
+    k = rng.standard_normal((B, H, m, c), dtype=np.float32)
+    v = rng.standard_normal((B, H, m, c), dtype=np.float32)
+    scale = c ** -0.5
+    out = np.asarray(fa.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, 128, 128, True))
+    sim = np.einsum("bhnc,bhmc->bhnm", q, k) * scale
+    attn = np.exp(sim - sim.max(-1, keepdims=True))
+    attn = attn / attn.sum(-1, keepdims=True)
+    ref = np.einsum("bhnm,bhmc->bhnc", attn, v)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    # grads through the streaming forward too
+    w = jnp.asarray(rng.standard_normal((B, H, n, c), dtype=np.float32))
+    g1 = jax.grad(lambda q, k, v: jnp.sum(
+        fa.flash_attention(q, k, v, scale, 128, 128, True) * w),
+        argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    g2 = jax.grad(lambda q, k, v: jnp.sum(jnp.einsum(
+        "bhnm,bhmc->bhnc", jax.nn.softmax(
+            jnp.einsum("bhnc,bhmc->bhnm", q, k) * scale, axis=-1), v) * w),
+        argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
