@@ -27,6 +27,10 @@ _NEG_INF = -1e30
 # wins on kernel-launch and padding overheads.
 _FLASH_MIN_Q_LEN = 512
 
+# kernel block sizes, env-tunable for on-chip sweeps
+_BLOCK_Q = int(os.environ.get("LLT2I_FLASH_BLOCK_Q", "256"))
+_BLOCK_K = int(os.environ.get("LLT2I_FLASH_BLOCK_K", "512"))
+
 
 @functools.lru_cache(None)
 def _on_tpu() -> bool:
@@ -73,7 +77,7 @@ def attention_with_projections(p, x, key, value, num_heads: int, mask=None,
         qh = jnp.einsum("bnd,dhc->bhnc", x, wq)
         kh = jnp.einsum("bmd,dhc->bhmc", key, wk)
         vh = jnp.einsum("bmd,dhc->bhmc", value, wv)
-        out = flash_attention(qh, kh, vh, scale)
+        out = flash_attention(qh, kh, vh, scale, _BLOCK_Q, _BLOCK_K)
         po = p["to_out"]["0"]
         wo = po["weight"].astype(x.dtype).reshape(num_heads, c, -1)
         y = jnp.einsum("bhnc,hcd->bnd", out, wo)
@@ -117,7 +121,7 @@ def multi_head_attention(q, k, v, num_heads: int, mask=None, impl: str = "auto")
         qh = q.reshape(b, n, num_heads, c).transpose(0, 2, 1, 3)  # B,H,N,C
         kh = k.reshape(b, m, num_heads, c).transpose(0, 2, 1, 3)
         vh = v.reshape(b, m, num_heads, c).transpose(0, 2, 1, 3)
-        out = flash_attention(qh, kh, vh, scale)
+        out = flash_attention(qh, kh, vh, scale, _BLOCK_Q, _BLOCK_K)
         return out.transpose(0, 2, 1, 3).reshape(b, n, hc)
 
     # head-split via einsum over the packed layout — XLA folds the head
