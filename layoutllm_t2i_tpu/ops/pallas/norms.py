@@ -31,17 +31,24 @@ from jax.experimental.pallas import tpu as pltpu
 # single block is ~16MB/4 minus the f32 row-tile temporaries; wide-channel
 # sites split along the GROUP axis instead (stats are per-group, so group
 # chunks are fully independent — the one-pass property is preserved).
-_GN_BLOCK_BYTES = int(2.5 * 1024 * 1024)
+_GN_BLOCK_BYTES = int(3.25 * 1024 * 1024)
 _ROW_TILE = 512  # HW rows processed per inner iteration
 
 
 def _gn_group_chunks(hw: int, c: int, num_groups: int, itemsize: int):
     """Smallest k (dividing num_groups) whose (1, HW, C/k) block fits the
-    budget; None if even per-group blocks are too large."""
+    budget; None if no legal split exists (-> XLA fallback).
+
+    Mosaic constraint: a block that PARTITIONS the channel dim must have
+    C/k % 128 == 0 (k == 1 keeps the full dim and is exempt); lane padding
+    to 128 counts against the budget either way."""
     for k in range(1, num_groups + 1):
         if num_groups % k or c % k:
             continue
-        ck_padded = max(c // k, -(-(c // k) // 128) * 128)  # lane padding
+        ck = c // k
+        if k > 1 and ck % 128:
+            continue
+        ck_padded = -(-ck // 128) * 128
         if hw * ck_padded * itemsize <= _GN_BLOCK_BYTES:
             return k
     return None

@@ -105,11 +105,12 @@ def test_group_norm_group_chunked(rng):
         out = _gn_pallas(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta),
                          32, 1e-5, True, interpret=True, k=k)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
-    # budget selection: huge f32 block picks a k > 1 dividing the groups
-    k = _gn_group_chunks(4096, 1920, 32, 4)
-    assert k is not None and 32 % k == 0
-    assert 4096 * (1920 // k) * 4 <= 2.5 * 1024 * 1024
-    # 512^2 VAE site cannot fit even per-group -> fallback
+    # Mosaic: a split channel dim must be a 128-multiple; k=1 is exempt
+    assert _gn_group_chunks(1024, 1280, 32, 2) == 1      # fits whole
+    assert _gn_group_chunks(256, 2560, 32, 2) == 1
+    assert _gn_group_chunks(4096, 2048, 32, 2) == 8      # 256-ch chunks
+    assert _gn_group_chunks(4096, 640, 32, 2) is None    # 320/160/... not %128
+    # 512^2 VAE site cannot fit -> fallback
     assert _gn_group_chunks(512 * 512, 128, 32, 2) is None
 
 
