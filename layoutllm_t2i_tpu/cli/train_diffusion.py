@@ -42,6 +42,8 @@ def parse_args(argv=None):
     p.add_argument("--preview_steps", type=int, default=50)
     p.add_argument("--export_reference_ckpt", action="store_true",
                    help="also write the reference 4-module .pth at every save")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="bf16 compute with f32 master weights")
     p.add_argument("--small", action="store_true",
                    help="tiny random models (CPU smoke)")
     return p.parse_args(argv)
@@ -90,6 +92,7 @@ def main(argv=None):
         disable_inference_in_training=not args.enable_previews,
         preview_steps=args.preview_steps,
         export_reference_ckpt=args.export_reference_ckpt,
+        mixed_precision=args.mixed_precision,
     )
 
     models = _small_models() if args.small else None

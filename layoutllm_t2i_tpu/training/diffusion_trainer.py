@@ -66,6 +66,8 @@ class TrainerConfig:
     # additionally write the reference 4-module dict .pth at every save so
     # reference tooling can consume trained weights (checkpoint/export.py)
     export_reference_ckpt: bool = False
+    # bf16 compute / f32 master weights in the train step (reference is fp32)
+    mixed_precision: bool = False
     num_devices: Optional[int] = None
 
 
@@ -111,6 +113,7 @@ class DiffusionTrainer:
             warmup_steps=config.warmup_steps,
             total_steps=config.total_iters,
             lr_schedule=config.scheduler_type,
+            mixed_precision=config.mixed_precision,
         )
         # partitioned state: only the trainable subtree (rela_fuse / fuser+
         # position_net) lives in the donated optimizer state; the frozen bulk

@@ -71,6 +71,10 @@ class TrainStepConfig:
     # ~30% step FLOPs for activation memory — required for 512^2 batches on
     # 16GB chips (the reference's use_checkpoint flag, openaimodel.py:206-209)
     remat: bool = False
+    # bf16 compute with f32 master weights: params/batch cast to bf16 inside
+    # the loss (the cast transpose yields f32 grads, Adam state stays f32).
+    # Off by default — the reference trains fp32.
+    mixed_precision: bool = False
 
 
 def make_optimizer(cfg: TrainStepConfig, params):
@@ -136,6 +140,16 @@ def make_loss_fn(cfg: TrainStepConfig):
         t = jnp.where(t == schedule.num_timesteps, schedule.num_timesteps - 1, t)
         noise = jax.random.normal(r_noise, batch["z"].shape, batch["z"].dtype)
         x_noisy = q_sample(schedule, batch["z"], t, noise)
+
+        if cfg.mixed_precision:
+            bf16 = lambda tree: jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
+            params = bf16(params)
+            x_noisy = x_noisy.astype(jnp.bfloat16)
+            batch = dict(batch, context=batch["context"].astype(jnp.bfloat16),
+                         phrase_embeddings=batch["phrase_embeddings"].astype(jnp.bfloat16),
+                         relations=batch["relations"].astype(jnp.bfloat16))
 
         # 10% grounding drop for guidance training: zero the grounding inputs
         # (the null input is all-zeros, text_layout_tokinzer_input.py:47-62)

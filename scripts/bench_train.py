@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--mixed_precision", action="store_true",
+                    help="bf16 compute with f32 master weights")
     args = ap.parse_args()
 
     from layoutllm_t2i_tpu.models.unet import UNetConfig, init_unet_params
@@ -49,7 +51,8 @@ def main():
                                 dtype if on_tpu else None)
     tcfg = TrainStepConfig(unet_cfg=cfg, schedule=schedule,
                            trainable_mode="rela_fuse", warmup_steps=0,
-                           total_steps=1000, remat=args.remat)
+                           total_steps=1000, remat=args.remat,
+                           mixed_precision=args.mixed_precision)
     state, frozen = init_partitioned_state(tcfg, params)
     step_fn = jax.jit(make_partitioned_train_step(tcfg), donate_argnums=(0,))
 
@@ -90,6 +93,7 @@ def main():
         "loss": round(float(loss), 4),
         "batch": b,
         "remat": args.remat,
+        "mixed_precision": args.mixed_precision,
     }))
 
 

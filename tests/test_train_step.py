@@ -118,3 +118,24 @@ def test_train_step_with_condition_map_channels():
     assert batch["grounding_extra"].shape == (2, 8, 8, 8)
     state, loss = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(loss))
+
+
+def test_mixed_precision_train_step(setup):
+    """bf16 compute with f32 master weights: grads land in f32, loss finite,
+    params actually move (opt-in — the reference trains fp32)."""
+    import dataclasses
+
+    cfg, params, schedule, tcfg = setup
+    mp_cfg = dataclasses.replace(tcfg, mixed_precision=True)
+    state = init_train_state(mp_cfg, params)
+    step = jax.jit(make_train_step(mp_cfg, params))
+    before = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    state, loss = step(state, _batch(cfg), jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)  # master weights f32
+    # rela_fuse leaves moved
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                                jax.tree_util.tree_leaves(params)))
+    assert moved
