@@ -57,6 +57,9 @@ def parse_args(argv=None):
                         " paired with the --layout boxes ('-' skips a box)")
     p.add_argument("--clip_vision_ckpt", type=str, default=None,
                    help="converted CLIP .pth for the image-reference tower")
+    p.add_argument("--projection_matrix", type=str, default=None,
+                   help="the reference's 768x768 'projection_matrix' file "
+                        "(interface.py:128) for after_reproject image feats")
     p.add_argument("--keypoints", type=str, default=None,
                    help="'x,y;x,y;...' normalized, 17 per person, persons "
                         "separated by '|'")
@@ -111,6 +114,14 @@ def _image_ref_grounding(args, models, cond):
         vision_params = init_clip_vision_params(jax.random.PRNGKey(args.seed),
                                                 vision_cfg)
 
+    proj = None
+    if args.projection_matrix:
+        import torch
+
+        proj = np.asarray(torch.load(args.projection_matrix,
+                                     map_location="cpu",
+                                     weights_only=False).float().numpy())
+
     refs = args.image_refs.split(";")
     mo = cond["boxes"].shape[1]
     emb = np.zeros((args.batch_size, mo, 768), np.float32)
@@ -123,7 +134,12 @@ def _image_ref_grounding(args, models, cond):
         feat = clip_image_features(vision_params, vision_cfg,
                                    preprocess_images(jnp.asarray(x), vision_cfg))
         feat = np.asarray(feat)[0]
-        feat = feat / max(np.linalg.norm(feat), 1e-6) * 28.7  # after_reproject
+        if proj is not None:
+            from ..data.tsv import reproject_embedding
+
+            feat = reproject_embedding(feat[None], proj)[0]
+        else:
+            feat = feat / max(np.linalg.norm(feat), 1e-6) * 28.7  # after_reproject
         emb[:, bi] = feat
         image_masks[:, bi] = 1.0
     return {
