@@ -108,3 +108,26 @@ def test_fuser_scale_and_sd_flag_reach_denoiser():
     plms_sample(denoise, tables, jnp.zeros((1, 2, 2, 1)))
     # traced values; confirm the signature threads (scan body + Heun branch)
     assert len(seen) >= 2
+
+
+def test_ddim_eta_adds_noise(rng):
+    """eta>0 DDIM is stochastic across rngs but deterministic per rng
+    (ddim.py:110-135 with eta sigmas)."""
+    import jax
+
+    from layoutllm_t2i_tpu.diffusion.samplers import ddim_sample, make_step_tables
+    from layoutllm_t2i_tpu.ops.schedules import make_ddpm_schedule
+
+    schedule = make_ddpm_schedule("linear", 100, 0.00085, 0.012)
+    tables = make_step_tables(schedule, 10, eta=1.0)
+    assert np.any(np.asarray(tables.sigma) > 0)
+    x0 = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+
+    def denoise(x, t, fscale, use_sd):
+        return 0.1 * x
+
+    a = ddim_sample(denoise, tables, x0, rng=jax.random.PRNGKey(1))
+    b = ddim_sample(denoise, tables, x0, rng=jax.random.PRNGKey(2))
+    a2 = ddim_sample(denoise, tables, x0, rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a2))
