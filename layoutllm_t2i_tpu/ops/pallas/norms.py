@@ -115,6 +115,8 @@ def _gn_pallas(x, gamma, beta, num_groups: int, eps: float, silu: bool,
     ck = c // k
     kernel = functools.partial(_gn_kernel, num_groups=num_groups // k, eps=eps,
                                silu=silu, row_tile=row_tile)
+    # params as (1, C) 2-D: Mosaic rejects blocked 1-D bf16 operands (tiled
+    # layout mismatch when the channel dim is split)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
@@ -122,13 +124,13 @@ def _gn_pallas(x, gamma, beta, num_groups: int, eps: float, silu: bool,
         in_specs=[
             pl.BlockSpec((1, hw, ck), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ck,), lambda i, j: (j,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ck,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ck), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ck), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, hw, ck), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xr, gamma, beta)
+    )(xr, gamma.reshape(1, c), beta.reshape(1, c))
     return out.reshape(n, h, w, c)
 
 
@@ -203,13 +205,13 @@ def _ln_pallas(x2, gamma, beta, eps: float, interpret: bool):
         grid=(rows // block,),
         in_specs=[
             pl.BlockSpec((block, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # (1, C) params
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x2, gamma, beta)
+    )(x2, gamma.reshape(1, c), beta.reshape(1, c))
 
 
 def _ln_reference(x, gamma, beta, eps: float):
