@@ -119,24 +119,22 @@ class LayoutDataset:
 
 def coco_layout_batches(coco_root: str, batch_size: int, image_size: int = 512,
                         max_boxes: int = 30, split: str = "train2014",
-                        seed: int = 0, shuffle: bool = True):
+                        seed: int = 0, shuffle: bool = True,
+                        num_workers: int = 4):
+    """Prefetched epoch-shuffled batches; on multi-host each process
+    automatically gets its DistributedSampler-style epoch shard
+    (data/loader.py)."""
+    import jax
+
+    from .loader import PrefetchLoader
+
     ds = LayoutDataset(
         image_dir=os.path.join(coco_root, split),
         instances_json=os.path.join(coco_root, "annotations", f"instances_{split}.json"),
         captions_json=os.path.join(coco_root, "annotations", f"captions_{split}.json"),
         image_size=image_size, max_boxes=max_boxes, seed=seed,
     )
-    order = list(range(len(ds)))
-    rng = random.Random(seed)
-    while True:
-        if shuffle:
-            rng.shuffle(order)
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            items = [ds[j] for j in order[i : i + batch_size]]
-            yield {
-                "image": np.stack([it["image"] for it in items]),
-                "caption": [it["caption"] for it in items],
-                "boxes": np.stack([it["boxes"] for it in items]),
-                "masks": np.stack([it["masks"] for it in items]),
-                "labels": [it["labels"] for it in items],
-            }
+    return PrefetchLoader(
+        ds, batch_size, shuffle=shuffle, seed=seed, num_workers=num_workers,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )

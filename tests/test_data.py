@@ -94,3 +94,40 @@ def test_dataset_catalog_registrations(tmp_path):
     )
     item = ds[0]
     assert item["image"].shape == (32, 32, 3)
+
+
+def test_prefetch_loader(tmp_path):
+    """Background-prefetched, epoch-shuffled, process-sharded batches."""
+    import numpy as _np
+
+    from layoutllm_t2i_tpu.data.loader import PrefetchLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": _np.full((2,), i, _np.float32), "name": f"i{i}"}
+
+    loader = PrefetchLoader(DS(), batch_size=3, seed=0, num_workers=2)
+    it = iter(loader)
+    seen = []
+    for _ in range(6):   # spans two epochs (3 full batches per epoch)
+        b = next(it)
+        assert b["x"].shape == (3, 2)
+        assert len(b["name"]) == 3
+        seen.append(tuple(int(v) for v in b["x"][:, 0]))
+    # epoch 1 covers 9 distinct indices across its 3 batches
+    epoch1 = {i for batch in seen[:3] for i in batch}
+    assert len(epoch1) == 9
+
+    # two processes see disjoint shards of the same epoch
+    l0 = PrefetchLoader(DS(), batch_size=2, seed=0, process_index=0,
+                        process_count=2)
+    l1 = PrefetchLoader(DS(), batch_size=2, seed=0, process_index=1,
+                        process_count=2)
+    b0 = l0._epoch_batches(0)
+    b1 = l1._epoch_batches(0)
+    s0 = {i for b in b0 for i in b}
+    s1 = {i for b in b1 for i in b}
+    assert not (s0 & s1) and len(s0) == len(s1) == 4
