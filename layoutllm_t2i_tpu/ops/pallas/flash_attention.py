@@ -50,7 +50,7 @@ def _lse_row(m_col, l_col):
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
                   block_k: int, kv_len: int, scale: float, num_kb: int,
-                  need_lse: bool):
+                  need_lse: bool, need_mask: bool):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -64,8 +64,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (BQ, BK)
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, _NEG_INF)
+    if need_mask:  # skipped statically when M needs no row padding
+        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
 
     m_prev = m_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -87,7 +88,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
 
 
 def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
-                         kv_len: int, scale: float, need_lse: bool):
+                         kv_len: int, scale: float, need_lse: bool,
+                         need_mask: bool):
     """Single-program variant: full K/V resident in VMEM, fori over k-blocks.
     Faster than the streaming grid when K/V fit (fewer grid iterations, no
     scratch round-trips); the wrapper picks it by VMEM footprint."""
@@ -106,8 +108,9 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         v = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+        if need_mask:  # skipped statically when M needs no row padding
+            col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
@@ -154,10 +157,11 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
         else pl.BlockSpec((1, 1), lambda b, i, j=None: (0, 0),
                           memory_space=pltpu.VMEM))
 
+    need_mask = kv_len != mp
     if kv_bytes <= _FULLKV_VMEM_BYTES:
         kernel = functools.partial(
             _flash_kernel_fullkv, block_k=block_k, kv_len=kv_len, scale=scale,
-            need_lse=need_lse,
+            need_lse=need_lse, need_mask=need_mask,
         )
         out, lse = pl.pallas_call(
             kernel,
@@ -179,7 +183,7 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
     grid = (bh, np_ // block_q, num_kb)
     kernel = functools.partial(
         _flash_kernel, block_k=block_k, kv_len=kv_len, scale=scale,
-        num_kb=num_kb, need_lse=need_lse,
+        num_kb=num_kb, need_lse=need_lse, need_mask=need_mask,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -212,7 +216,7 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref,
                    dq_scr, *, block_k: int, kv_len: int, scale: float,
-                   num_kb: int):
+                   num_kb: int, need_mask: bool):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -228,8 +232,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref,
 
     s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, _NEG_INF)
+    if need_mask:
+        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
     p = jnp.exp(s - lse)                       # (BQ, BK)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -302,7 +307,8 @@ def _flash_bwd_bh(q, k, v, do, lse, delta, scale: float, block_q: int,
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k, kv_len=kv_len,
-                          scale=scale, num_kb=num_kb),
+                          scale=scale, num_kb=num_kb,
+                          need_mask=kv_len != mp),
         out_shape=jax.ShapeDtypeStruct((bh, np_, cp), q.dtype),
         grid=(bh, num_qb, num_kb),
         in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec],
