@@ -24,6 +24,7 @@ trainer_combined_layout.py:414-416).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -364,6 +365,14 @@ def _prep(q, k, v, block_q, block_k, interpret):
     # traffic (for SD's d_head=40 that tripled attention bandwidth).
     block_q = min(block_q, _round_up(n, 128))
     block_k = min(block_k, _round_up(m, 128))
+    if os.environ.get("LLT2I_FLASH_ADAPTIVE_K", "1") != "0":
+        # shrink block_k when that removes KV row padding: the gated sites
+        # attach 30 object tokens to 4096 visual ones (M=4126), and bk=512
+        # pads to 4608 — 12% wasted QK/exp work; bk=128 pads only to 4224
+        block_k = min(
+            (bk for bk in (block_k, 256, 128) if bk <= block_k),
+            key=lambda bk: (_round_up(m, bk), -bk),
+        )
     np_ = _round_up(n, block_q)
     mp = _round_up(m, block_k)
     qf = _pad_rows(q.reshape(b * h, n, c), np_)

@@ -5,6 +5,7 @@ tensorboard or jax.profiler tooling offline.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -56,12 +57,15 @@ def main():
         fscale=jax.device_put(jnp.float32(1.0)),
     )
 
+    # params must be an ARGUMENT: closing over them bakes ~2.5GB of weights
+    # into the program as constants and compile time explodes
     @jax.jit
-    def fwd(i):
+    def fwd(params, i):
         return unet_apply(params, cfg, i["x"], i["t"], i["ctx"], i["boxes"],
                           i["masks"], i["pos"], i["rel"],
                           fuser_scale=i["fscale"])
 
+    fwd = functools.partial(fwd, params)
     out = fwd(inputs)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -86,7 +90,7 @@ def main():
         vparams = materialize_params(init_vae_params, jax.random.PRNGKey(1),
                                      vcfg, dtype if on_tpu else None)
         z = mk(4, cfg.image_size, cfg.image_size, 4)
-        dec = jax.jit(lambda z: decode(vparams, vcfg, z))
+        dec = functools.partial(jax.jit(lambda p, z: decode(p, vcfg, z)), vparams)
         img = dec(z)
         jax.block_until_ready(img)
         t0 = time.perf_counter()

@@ -1,0 +1,96 @@
+"""On-chip sweep of flash-attention block sizes for the production UNet.
+
+Times the full UNet forward (b=8, SD-1.4 scale) with the eval loop inside a
+single jitted lax.scan: one device dispatch covers --evals UNet evaluations,
+so the axon tunnel's ~2s per-dispatch latency doesn't pollute the numbers
+(host-side timing of single calls is useless through the tunnel; see PERF.md).
+
+Each (block_q, block_k) variant recompiles (~4-5 min on the remote compiler),
+so keep the variant list short and targeted.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--evals", type=int, default=25)
+    ap.add_argument("--variants", type=str, default="256x512,512x512,1024x512",
+                    help="comma-separated BQxBK list")
+    args = ap.parse_args()
+
+    from layoutllm_t2i_tpu.models.unet import UNetConfig, init_unet_params, unet_apply
+    from layoutllm_t2i_tpu.utils.trees import materialize_params
+    from layoutllm_t2i_tpu.ops import attention as attn_mod
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    cfg = UNetConfig()
+    params = materialize_params(init_unet_params, jax.random.PRNGKey(0), cfg, dtype)
+
+    b = args.batch
+    g = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(g.standard_normal(s), dtype)
+    x0 = mk(b, cfg.image_size, cfg.image_size, 4)
+    t = jnp.full((b,), 500, jnp.int32)
+    ctx = mk(b, 77, cfg.context_dim)
+    boxes = jnp.asarray(np.tile([[0.1, 0.2, 0.6, 0.8]], (b, 30, 1)), jnp.float32)
+    masks = jnp.asarray(np.ones((b, 30)), jnp.float32)
+    pos = mk(b, 30, cfg.grounding_in_dim)
+    rel = mk(b, 10, cfg.context_dim)
+
+    n_evals = args.evals
+
+    def make_loop():
+        @jax.jit
+        def loop(params, x):
+            def body(h, i):
+                eps = unet_apply(params, cfg, h, t, ctx, boxes, masks, pos, rel,
+                                 fuser_scale=jnp.float32(1.0))
+                # keep the carry bounded and data-dependent across evals
+                return (h - 0.01 * eps).astype(h.dtype), ()
+            out, _ = jax.lax.scan(body, x, jnp.arange(n_evals))
+            return out
+        return loop
+
+    results = {}
+    for var in args.variants.split(","):
+        bq, bk = (int(v) for v in var.split("x"))
+        attn_mod._BLOCK_Q = bq
+        attn_mod._BLOCK_K = bk
+        loop = make_loop()
+        t0 = time.perf_counter()
+        out = loop(params, x0)
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+        # steady state: 3 timed dispatches with varied inputs (per-dispatch
+        # tunnel overhead is identical across variants, so relative numbers
+        # are meaningful even if absolute ones carry a constant offset)
+        xs = [x0 + 1e-4 * i for i in range(1, 4)]
+        jax.block_until_ready(xs)
+        t0 = time.perf_counter()
+        for xv in xs:
+            out = loop(params, xv)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        per_eval = dt / (len(xs) * n_evals) * 1000
+        results[var] = per_eval
+        print(f"bq x bk {var}: {per_eval:.1f} ms/eval  "
+              f"(compile+first {compile_s:.0f}s)", flush=True)
+
+    best = min(results, key=results.get)
+    print(f"best: {best} at {results[best]:.1f} ms/eval")
+
+
+if __name__ == "__main__":
+    main()

@@ -114,6 +114,40 @@ def test_group_norm_group_chunked(rng):
     assert _gn_group_chunks(512 * 512, 128, 32, 2) is None
 
 
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 16, 16, 640), 32),    # UNet output-block concat site (falls off _gn_pallas)
+    ((1, 8, 8, 960), 32),      # 320+640 skip concat
+    ((1, 32, 32, 128), 32),    # VAE 512^2-like shape (scaled down)
+])
+@pytest.mark.parametrize("silu", [False, True])
+def test_group_norm_rows_streaming(rng, shape, groups, silu):
+    """Two-pass rows-streaming variant for blocks too big for one VMEM tile;
+    must match the XLA reference on the shapes that used to fall back."""
+    from layoutllm_t2i_tpu.ops.pallas.norms import _gn_pallas_rows
+
+    x = rng.standard_normal(shape).astype(np.float32)
+    gamma = rng.uniform(0.5, 1.5, shape[-1]).astype(np.float32)
+    beta = rng.uniform(-0.5, 0.5, shape[-1]).astype(np.float32)
+    ref = _gn_reference(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta),
+                        groups, 1e-5, silu)
+    hw = shape[1] * shape[2]
+    out = _gn_pallas_rows(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta),
+                          groups, 1e-5, silu, interpret=True, rb=hw // 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_gn_rows_block_selection():
+    from layoutllm_t2i_tpu.ops.pallas.norms import _gn_rows_block
+
+    # 512^2 x 128: lane-padded C=128 -> rb = 8192 rows (2MB budget), divides hw
+    assert _gn_rows_block(512 * 512, 128, 2) == 8192
+    # (8,4096,640): C pads to 768 -> rb = 1024 (<= 1365 rounded to divide 4096)
+    rb = _gn_rows_block(4096, 640, 2)
+    assert rb is not None and 4096 % rb == 0 and rb % 8 == 0
+    rb = _gn_rows_block(4096, 960, 2)
+    assert rb is not None and 4096 % rb == 0
+
+
 def test_fuser_scale_keeps_bf16():
     """A traced f32 fuser_scale must not promote activations to f32
     (round-1 silently ran most of the UNet in f32 through this)."""
