@@ -70,17 +70,27 @@ SHAPES = [
     (4, 256, 256, 256, 256),
 ]
 
+# batch-scaling probe: bf16 conv emitters pack batch into (16, 128) sublane
+# tiles, so small batches may waste sublane occupancy
+SHAPES_B16 = [
+    (16, 64, 64, 320, 320),
+    (16, 64, 64, 640, 320),
+    (16, 32, 32, 640, 640),
+    (8, 512, 512, 128, 128),
+]
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--forms", type=str, default="conv,shift9,im2col")
+    ap.add_argument("--b16", action="store_true", help="batch-scaling shapes")
     args = ap.parse_args()
 
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     g = np.random.default_rng(0)
 
-    for (b, h, wd, cin, cout) in SHAPES:
+    for (b, h, wd, cin, cout) in (SHAPES_B16 if args.b16 else SHAPES):
         x0 = jnp.asarray(g.standard_normal((b, h, wd, cin)) * 0.1, dtype)
         w = jnp.asarray(g.standard_normal((3, 3, cin, cout)) * 0.02, dtype)
         gflop = 2 * 9 * cin * cout * b * h * wd / 1e9
@@ -95,16 +105,17 @@ def main():
                     return (c + 0.001 * y[..., :cin] if cout >= cin
                             else c + 0.001 * jnp.pad(y, ((0, 0),) * 3 + ((0, cin - cout),))), ()
                 out, _ = jax.lax.scan(body, x, jnp.arange(args.iters))
-                return out
+                # scalar result: fetching its VALUE forces real execution
+                # (block_until_ready alone returns early through the tunnel)
+                return jnp.sum(out.astype(jnp.float32))
 
-            out = loop(x0, w)
-            jax.block_until_ready(out)
+            s = float(loop(x0, w))
             xs = [x0 + 1e-4 * i for i in range(1, 3)]
             jax.block_until_ready(xs)
             t0 = time.perf_counter()
+            acc = 0.0
             for xv in xs:
-                out = loop(xv, w)
-            jax.block_until_ready(out)
+                acc += float(loop(xv, w))
             per = (time.perf_counter() - t0) / (2 * args.iters) * 1000
             mfu = gflop / per / 197  # v5e bf16 peak 197 TFLOP/s => GFLOP/ms
             print(f"{(b,h,wd,cin,cout)} {name:7s}: {per:7.3f} ms  "

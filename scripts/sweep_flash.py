@@ -60,18 +60,23 @@ def main():
                 # keep the carry bounded and data-dependent across evals
                 return (h - 0.01 * eps).astype(h.dtype), ()
             out, _ = jax.lax.scan(body, x, jnp.arange(n_evals))
-            return out
+            # scalar result: fetching its VALUE forces real execution
+            # (block_until_ready alone can return early through the tunnel)
+            return jnp.sum(out.astype(jnp.float32))
         return loop
 
     results = {}
     for var in args.variants.split(","):
-        bq, bk = (int(v) for v in var.split("x"))
+        parts = var.split("x")
+        bq, bk = int(parts[0]), int(parts[1])
+        # optional third field: a0/a1 toggles LLT2I_FLASH_ADAPTIVE_K
+        if len(parts) > 2:
+            os.environ["LLT2I_FLASH_ADAPTIVE_K"] = parts[2][1:]
         attn_mod._BLOCK_Q = bq
         attn_mod._BLOCK_K = bk
         loop = make_loop()
         t0 = time.perf_counter()
-        out = loop(params, x0)
-        jax.block_until_ready(out)
+        float(loop(params, x0))
         compile_s = time.perf_counter() - t0
         # steady state: 3 timed dispatches with varied inputs (per-dispatch
         # tunnel overhead is identical across variants, so relative numbers
@@ -80,8 +85,7 @@ def main():
         jax.block_until_ready(xs)
         t0 = time.perf_counter()
         for xv in xs:
-            out = loop(params, xv)
-        jax.block_until_ready(out)
+            float(loop(params, xv))
         dt = time.perf_counter() - t0
         per_eval = dt / (len(xs) * n_evals) * 1000
         results[var] = per_eval
