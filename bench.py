@@ -85,22 +85,35 @@ def main():
         jnp.float32,
     )
 
-    # warmup / compile
-    img = pipe.sample_latents(cond, noise)
-    jax.block_until_ready(img)
-
     # vary inputs per iteration: repeated byte-identical remote executions
     # can be served bogus-fast by the tunnel layer
-    noises = [
+    noises = jnp.stack([
         jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(7), i),
                           noise.shape, noise.dtype)
         for i in range(args.iters)
-    ]
-    jax.block_until_ready(noises)
+    ])
+
+    # all iterations inside ONE jitted scan: measures steady-state device
+    # throughput; per-dispatch tunnel latency (~2s/call through axon) would
+    # otherwise dominate the timed region
+    @jax.jit
+    def run_all(unet_params, vae_params, sd_conv, cond, noises):
+        def body(carry, nz):
+            img = pipe._sample_fn(unet_params, vae_params, sd_conv, cond, nz,
+                                  jax.random.PRNGKey(0))
+            return carry, jnp.sum(img.astype(jnp.float32))
+        _, sums = jax.lax.scan(body, 0, noises)
+        return sums
+
+    m = pipe.models
+    args_all = (m.unet_params, m.vae_params, m.sd_first_conv, cond)
+    # warmup / compile (same scan length so only ONE program is compiled);
+    # fetch VALUES, not just block_until_ready — the remote tunnel can
+    # return from block_until_ready before execution finishes
+    np.asarray(run_all(*args_all, noises))
+
     t0 = time.perf_counter()
-    for i in range(args.iters):
-        img = pipe.sample_latents(cond, noises[i])
-    jax.block_until_ready(img)
+    np.asarray(run_all(*args_all, noises))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = b * args.iters / dt

@@ -27,8 +27,9 @@ _NEG_INF = -1e30
 # wins on kernel-launch and padding overheads.
 _FLASH_MIN_Q_LEN = 512
 
-# kernel block sizes, env-tunable for on-chip sweeps
-_BLOCK_Q = int(os.environ.get("LLT2I_FLASH_BLOCK_Q", "256"))
+# kernel block sizes, env-tunable for on-chip sweeps; 512x512 measured best
+# on the b=16 UNet forward (scripts/sweep_flash.py, PERF.md round 2)
+_BLOCK_Q = int(os.environ.get("LLT2I_FLASH_BLOCK_Q", "512"))
 _BLOCK_K = int(os.environ.get("LLT2I_FLASH_BLOCK_K", "512"))
 
 

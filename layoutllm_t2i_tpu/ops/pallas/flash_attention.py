@@ -365,10 +365,12 @@ def _prep(q, k, v, block_q, block_k, interpret):
     # traffic (for SD's d_head=40 that tripled attention bandwidth).
     block_q = min(block_q, _round_up(n, 128))
     block_k = min(block_k, _round_up(m, 128))
-    if os.environ.get("LLT2I_FLASH_ADAPTIVE_K", "1") != "0":
-        # shrink block_k when that removes KV row padding: the gated sites
-        # attach 30 object tokens to 4096 visual ones (M=4126), and bk=512
-        # pads to 4608 — 12% wasted QK/exp work; bk=128 pads only to 4224
+    if os.environ.get("LLT2I_FLASH_ADAPTIVE_K", "0") == "1":
+        # Shrink block_k when that removes KV row padding (gated sites:
+        # M=4126 pads to 4224 at bk=128 instead of 4608 at bk=512). OFF by
+        # default: measured 44% SLOWER on-chip — the per-block fixed cost of
+        # 33 small (bq,40)x(40,128) matmuls dwarfs the 8% padding saving
+        # (scripts/sweep_flash.py, b=16: 250.6 -> 360.2 ms/eval).
         block_k = min(
             (bk for bk in (block_k, 256, 128) if bk <= block_k),
             key=lambda bk: (_round_up(m, bk), -bk),

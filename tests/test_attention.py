@@ -127,3 +127,25 @@ def test_flash_streaming_path_matches_xla(rng, monkeypatch):
         argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_adaptive_block_k_minimizes_padding(monkeypatch):
+    """_prep shrinks block_k only when that reduces padded KV rows (the
+    gated sites' M=4126 pads to 4224 at bk=128 instead of 4608 at bk=512);
+    exact multiples keep the requested block."""
+    from layoutllm_t2i_tpu.ops.pallas import flash_attention as fa
+
+    def prep_mp(n, m, bq=256, bk=512):
+        q = jnp.zeros((1, 1, n, 40))
+        k = jnp.zeros((1, 1, m, 40))
+        _, kf, _, bq_out, bk_out, _ = fa._prep(q, k, k, bq, bk, True)
+        return kf.shape[1], bk_out
+
+    monkeypatch.setenv("LLT2I_FLASH_ADAPTIVE_K", "1")
+    mp, bk = prep_mp(4096, 4126)
+    assert (mp, bk) == (4224, 128)
+    mp, bk = prep_mp(4096, 4096)
+    assert (mp, bk) == (4096, 512)      # tie -> largest block
+    monkeypatch.setenv("LLT2I_FLASH_ADAPTIVE_K", "0")
+    mp, bk = prep_mp(4096, 4126)
+    assert (mp, bk) == (4608, 512)
