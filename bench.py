@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--small", action="store_true", help="tiny model for CPU smoke")
     ap.add_argument("--guidance", type=float, default=7.5)
+    ap.add_argument("--vae_chunk", type=int, default=8,
+                    help="decode the VAE in chunks of this batch size (peak-"
+                         "HBM cap; 0 = whole batch at once)")
     args = ap.parse_args()
 
     from layoutllm_t2i_tpu.utils.compile_cache import enable_persistent_cache
@@ -71,7 +74,8 @@ def main():
         compute_dtype=dtype,
     )
     pipe = InferencePipeline(models, steps=args.steps, sampler="plms",
-                             guidance_scale=args.guidance, alpha_type=(0.3, 0.0, 0.7))
+                             guidance_scale=args.guidance, alpha_type=(0.3, 0.0, 0.7),
+                             vae_chunk=args.vae_chunk or None)
 
     b = args.batch
     prompts = ["a dog chasing a frisbee in a park"] * b

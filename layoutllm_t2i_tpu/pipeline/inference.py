@@ -181,7 +181,8 @@ class InferencePipeline:
 
     def __init__(self, models: GligenModels, steps: int = 50, sampler: str = "plms",
                  guidance_scale: float = 7.5, alpha_type=(0.3, 0.0, 0.7),
-                 eta: float = 0.0, attn_impl: str = "auto"):
+                 eta: float = 0.0, attn_impl: str = "auto",
+                 vae_chunk: Optional[int] = None):
         self.models = models
         self.steps = steps
         self.sampler = sampler
@@ -189,6 +190,11 @@ class InferencePipeline:
         self.alpha_type = tuple(alpha_type) if alpha_type is not None else None
         self.eta = eta
         self.attn_impl = attn_impl
+        # decode the VAE in batch chunks: 512^2 decode activations are ~64MB
+        # per image and the full-batch decode is the peak-HBM site of the
+        # sampler (a b=16 decode crashed the v5e worker); conv MFU saturates
+        # by chunk 8 anyway (PERF.md batch-scaling probe)
+        self.vae_chunk = vae_chunk
         self.tables: StepTables = make_step_tables(
             models.schedule, steps, eta=eta, alpha_type=self.alpha_type
         )
@@ -246,8 +252,15 @@ class InferencePipeline:
             inpaint = InpaintBlend(mask=cond["inpaint_mask"], z0=cond["inpaint_z0"])
         z = sample(denoise, self.tables, noise, schedule=self.models.schedule,
                    inpaint=inpaint, rng=rng)
-        img = vae_decode(vae_params, self.models.vae_cfg,
-                         z.astype(self.models.compute_dtype))
+        z = z.astype(self.models.compute_dtype)
+        b = z.shape[0]
+        if self.vae_chunk and self.vae_chunk < b and b % self.vae_chunk == 0:
+            zc = z.reshape(b // self.vae_chunk, self.vae_chunk, *z.shape[1:])
+            img = jax.lax.map(
+                lambda zi: vae_decode(vae_params, self.models.vae_cfg, zi), zc)
+            img = img.reshape(b, *img.shape[2:])
+        else:
+            img = vae_decode(vae_params, self.models.vae_cfg, z)
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0) * 0.5 + 0.5
         return img
 

@@ -131,3 +131,18 @@ def test_inpaint_masks():
     mr = draw_masks_from_boxes(boxes, size=64, randomize_fg_mask=True,
                                random_add_bg_mask=True, seed=1)
     assert mr.shape == (1, 64, 64, 1)
+
+
+def test_vae_chunked_decode_matches(pipe):
+    """vae_chunk decodes the batch in lax.map chunks (peak-HBM cap for large
+    generation batches); output must equal the whole-batch decode."""
+    prompts = ["a cat", "a dog", "a bird", "a fish"]
+    layouts = [([[0.1, 0.1, 0.6, 0.6]], ["x"])] * 4
+    chunked = InferencePipeline(pipe.models, steps=3, sampler="plms",
+                                guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7),
+                                vae_chunk=2)
+    whole = InferencePipeline(pipe.models, steps=3, sampler="plms",
+                              guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7))
+    a = chunked.generate(prompts, layouts, seed=3)
+    b = whole.generate(prompts, layouts, seed=3)
+    np.testing.assert_allclose(a, b, atol=1e-5)
