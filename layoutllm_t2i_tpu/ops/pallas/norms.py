@@ -311,7 +311,11 @@ def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def _ln_pallas(x2, gamma, beta, eps: float, interpret: bool):
     rows, c = x2.shape
-    block = min(1024, rows)
+    # C is a FULL (unpartitioned) block dim, so it is exempt from the
+    # 128-multiple rule; lane padding to ceil(c/128)*128 only costs VMEM
+    cp = -(-c // 128) * 128
+    block = min(1024, rows, max(8, (2 << 20) // (cp * x2.dtype.itemsize)))
+    block -= block % 8
     while rows % block:
         block //= 2
     return pl.pallas_call(
@@ -348,7 +352,10 @@ def layer_norm_fused(x, gamma, beta, eps: float = 1e-5):
     if jax.default_backend() != "tpu" and rows * c > (1 << 22):
         # interpret mode on huge inputs is slow in tests; use XLA math
         return _ln_reference(x, gamma, beta, eps)
-    if c % 128 != 0 or rows % 8 != 0:
+    # c need NOT be a 128-multiple (full-dim blocks are exempt): the c=320
+    # transformer LayerNorms fell back through an earlier `c % 128` gate and
+    # cost ~10ms/step in XLA convert/reduce fusions (PERF.md round 2)
+    if rows % 8 != 0:
         return _ln_reference(x, gamma, beta, eps)
     interpret = jax.default_backend() != "tpu"
     out = _ln_pallas(x.reshape(rows, c), gamma, beta, eps, interpret)

@@ -54,6 +54,42 @@ def probe_groupnorm():
     return ok, fail, skipped
 
 
+def probe_groupnorm_rows():
+    from layoutllm_t2i_tpu.ops.pallas.norms import (
+        _gn_pallas_rows, _gn_reference, _gn_rows_block)
+
+    # sites that exceed the single-block budget: UNet output-block concats
+    # (hw=4096, C=640/960) and the 512^2/256^2 VAE maps
+    sites = [(4096, 640), (4096, 960), (65536, 256), (262144, 128)]
+    rng = np.random.default_rng(3)
+    ok = fail = 0
+    for hw, c in sites:
+        rb = _gn_rows_block(hw, c, 2)
+        if rb is None:
+            print(f"GNrows hw={hw} C={c}: no legal row block")
+            fail += 1
+            continue
+        h = int(hw ** 0.5)
+        x = jnp.asarray(rng.standard_normal((2, h, h, c)), jnp.bfloat16)
+        g = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.bfloat16)
+        b = jnp.asarray(rng.uniform(-0.5, 0.5, c), jnp.bfloat16)
+        try:
+            out = np.asarray(_gn_pallas_rows(x, g, b, 32, 1e-5, True, False, rb),
+                             np.float32)
+            ref = np.asarray(_gn_reference(x, g, b, 32, 1e-5, True), np.float32)
+            err = np.max(np.abs(out - ref))
+            good = err < 0.05
+            print(f"GNrows hw={hw} C={c} rb={rb}: {'PASS' if good else 'FAIL'} "
+                  f"maxerr={err:.4f}")
+            ok += good
+            fail += not good
+        except Exception as e:
+            print(f"GNrows hw={hw} C={c} rb={rb}: COMPILE FAIL "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+            fail += 1
+    return ok, fail
+
+
 def probe_layernorm():
     from layoutllm_t2i_tpu.ops.pallas.norms import _ln_pallas, _ln_reference
 
@@ -116,7 +152,9 @@ def probe_flash():
 
 if __name__ == "__main__":
     g_ok, g_fail, g_skip = probe_groupnorm()
+    r_ok, r_fail = probe_groupnorm_rows()
     l_ok, l_fail = probe_layernorm()
     f_ok, f_fail = probe_flash()
     print(f"SUMMARY gn={g_ok}ok/{g_fail}fail/{g_skip}fallback "
+          f"gnrows={r_ok}ok/{r_fail}fail "
           f"ln={l_ok}ok/{l_fail}fail flash={f_ok}ok/{f_fail}fail")

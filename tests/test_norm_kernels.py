@@ -166,3 +166,16 @@ def test_fuser_scale_keeps_bf16():
 
     out = jax.eval_shape(f, jnp.float32(0.5))
     assert out.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("rows,c", [(64, 320), (512, 40), (96, 960)])
+def test_layer_norm_non_lane_multiple_channels(rng, rows, c):
+    """C that is not a 128-multiple must run the kernel (full-dim blocks are
+    exempt from the lane rule) and match the reference."""
+    x = rng.standard_normal((rows, c)).astype(np.float32)
+    gamma = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    beta = rng.uniform(-0.5, 0.5, c).astype(np.float32)
+    ref = _ln_reference(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), 1e-5)
+    out = _ln_pallas(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), 1e-5,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
