@@ -35,8 +35,32 @@ def _fused_norms_enabled() -> bool:
     )
 
 
+def _pallas_matmul_enabled() -> bool:
+    """Pallas GEMM for the big FF/projection sites. OPT-IN
+    (LLT2I_PALLAS_MATMUL=1): measured SLOWER than XLA's dots in the full
+    b=16 UNet (55 ms vs ~34 ms — grid-step overhead dominates at K=320 and
+    the boundary layouts did not improve; PERF.md round 2). Kept for
+    experimentation; tests hit the kernels in interpreter mode directly
+    (tests/test_matmul_kernels.py)."""
+    return (
+        os.environ.get("LLT2I_PALLAS_MATMUL", "0") == "1"
+        and jax.default_backend() == "tpu"
+    )
+
+
 def linear(p, x):
-    y = jnp.dot(x, p["weight"].astype(x.dtype))
+    w = p["weight"]
+    if _pallas_matmul_enabled():
+        from .pallas.matmul import _eligible, linear_fused
+
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        if _eligible(m, x.shape[-1], w.shape[1]):
+            y = linear_fused(x.reshape(m, x.shape[-1]), w.astype(x.dtype),
+                             p.get("bias"))
+            return y.reshape(*x.shape[:-1], w.shape[1])
+    y = jnp.dot(x, w.astype(x.dtype))
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -107,9 +131,30 @@ def geglu_ff(p, x):
     """FeedForward(glu=True): Linear(d->8d) -> x*gelu(gate) -> Linear(4d->d).
 
     Torch names: net.0.proj (GEGLU projection), net.2 (output linear);
-    reference GLIGEN/ldm/modules/attention.py:38-65.
+    reference GLIGEN/ldm/modules/attention.py:38-65. On TPU the projection
+    runs as one fused Pallas GEMM computing a*gelu(gate) directly (halves
+    the projection's HBM output traffic).
     """
-    h = linear(p["net"]["0"]["proj"], x)
+    proj = p["net"]["0"]["proj"]
+    if _pallas_matmul_enabled():
+        from .pallas.matmul import _eligible, geglu_fused
+
+        w = proj["weight"]
+        k, n2 = w.shape
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        if _eligible(m, k, n2 // 2):
+            wd = w.astype(x.dtype)
+            wa, wg = wd[:, : n2 // 2], wd[:, n2 // 2:]
+            bias = proj.get("bias")
+            ba = bg = None
+            if bias is not None:
+                ba, bg = bias[: n2 // 2], bias[n2 // 2:]
+            h = geglu_fused(x.reshape(m, k), wa, wg, ba, bg)
+            h = h.reshape(*x.shape[:-1], n2 // 2)
+            return linear(p["net"]["2"], h)
+    h = linear(proj, x)
     a, gate = jnp.split(h, 2, axis=-1)
     h = a * gelu(gate)
     return linear(p["net"]["2"], h)

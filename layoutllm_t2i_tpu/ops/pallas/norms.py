@@ -314,10 +314,12 @@ def _ln_pallas(x2, gamma, beta, eps: float, interpret: bool):
     # C is a FULL (unpartitioned) block dim, so it is exempt from the
     # 128-multiple rule; lane padding to ceil(c/128)*128 only costs VMEM
     cp = -(-c // 128) * 128
-    block = min(1024, rows, max(8, (2 << 20) // (cp * x2.dtype.itemsize)))
-    block -= block % 8
-    while rows % block:
+    cap = max(8, (2 << 20) // (cp * x2.dtype.itemsize))
+    block = min(1024, rows, 1 << (cap.bit_length() - 1))  # power-of-two cap
+    while block >= 8 and rows % block:
         block //= 2
+    if block < 8 or rows % block:
+        return _ln_reference(x2, gamma, beta, eps)
     return pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
         out_shape=jax.ShapeDtypeStruct((rows, c), x2.dtype),

@@ -115,6 +115,58 @@ def probe_layernorm():
     return ok, fail
 
 
+def probe_matmul():
+    from layoutllm_t2i_tpu.ops.pallas.matmul import geglu_fused, linear_fused
+
+    rng = np.random.default_rng(4)
+    ok = fail = 0
+    # (M, K, N): b=16 UNet FF outs and GEGLU projection halves per level
+    lin = [(65536, 1280, 320), (16384, 2560, 640), (4096, 5120, 1280)]
+    geg = [(65536, 320, 1280), (16384, 640, 2560), (4096, 1280, 5120)]
+    for m, k, n in lin:
+        x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal(n) * 0.1, jnp.bfloat16)
+        try:
+            out = np.asarray(linear_fused(x, w, b), np.float32)
+            ref = np.asarray(
+                jnp.dot(x[:256], w, preferred_element_type=jnp.float32)
+                + b.astype(jnp.float32), np.float32)
+            err = np.max(np.abs(out[:256] - ref))
+            good = err < 0.2
+            print(f"MM {m}x{k}x{n}: {'PASS' if good else 'FAIL'} maxerr={err:.4f}")
+            ok += good
+            fail += not good
+        except Exception as e:
+            print(f"MM {m}x{k}x{n}: COMPILE FAIL {type(e).__name__}: {str(e)[:160]}")
+            fail += 1
+    for m, k, inner in geg:
+        x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.bfloat16)
+        wa = jnp.asarray(rng.standard_normal((k, inner)) * 0.02, jnp.bfloat16)
+        wg = jnp.asarray(rng.standard_normal((k, inner)) * 0.02, jnp.bfloat16)
+        ba = jnp.asarray(rng.standard_normal(inner) * 0.1, jnp.bfloat16)
+        bg = jnp.asarray(rng.standard_normal(inner) * 0.1, jnp.bfloat16)
+        try:
+            out = np.asarray(geglu_fused(x, wa, wg, ba, bg), np.float32)
+            a = np.asarray(jnp.dot(x[:256], wa, preferred_element_type=jnp.float32)
+                           + ba.astype(jnp.float32), np.float32)
+            g = np.asarray(jnp.dot(x[:256], wg, preferred_element_type=jnp.float32)
+                           + bg.astype(jnp.float32), np.float32)
+            from scipy.special import erf
+            ref = a * (0.5 * g * (1 + erf(g / np.sqrt(2))))
+            err = np.max(np.abs(out[:256] - ref))
+            good = err < 0.2
+            print(f"GEGLU {m}x{k}x{inner}: {'PASS' if good else 'FAIL'} "
+                  f"maxerr={err:.4f}")
+            ok += good
+            fail += not good
+        except Exception as e:
+            print(f"GEGLU {m}x{k}x{inner}: COMPILE FAIL {type(e).__name__}: "
+                  f"{str(e)[:160]}")
+            fail += 1
+    return ok, fail
+
+
 def probe_flash():
     from layoutllm_t2i_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -151,10 +203,19 @@ def probe_flash():
 
 
 if __name__ == "__main__":
+    import sys as _sys
+
+    only = _sys.argv[1] if len(_sys.argv) > 1 else None
+    if only == "matmul":
+        m_ok, m_fail = probe_matmul()
+        print(f"SUMMARY matmul={m_ok}ok/{m_fail}fail")
+        raise SystemExit(0)
     g_ok, g_fail, g_skip = probe_groupnorm()
     r_ok, r_fail = probe_groupnorm_rows()
     l_ok, l_fail = probe_layernorm()
+    m_ok, m_fail = probe_matmul()
     f_ok, f_fail = probe_flash()
     print(f"SUMMARY gn={g_ok}ok/{g_fail}fail/{g_skip}fallback "
           f"gnrows={r_ok}ok/{r_fail}fail "
-          f"ln={l_ok}ok/{l_fail}fail flash={f_ok}ok/{f_fail}fail")
+          f"ln={l_ok}ok/{l_fail}fail matmul={m_ok}ok/{m_fail}fail "
+          f"flash={f_ok}ok/{f_fail}fail")
