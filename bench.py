@@ -22,9 +22,9 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    # batch 4 measured faster end-to-end than 8 (VAE attention goes to the
-    # streaming kernel at b=8; see PERF.md)
-    ap.add_argument("--batch", type=int, default=4)
+    # batch 8 measured best end-to-end in round 2 (0.635 vs 0.620 at b=4;
+    # b=16 crashes the v5e worker in the UNet b=32 path — see PERF.md)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--small", action="store_true", help="tiny model for CPU smoke")

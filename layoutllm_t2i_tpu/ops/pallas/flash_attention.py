@@ -93,7 +93,11 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
                          need_mask: bool):
     """Single-program variant: full K/V resident in VMEM, fori over k-blocks.
     Faster than the streaming grid when K/V fit (fewer grid iterations, no
-    scratch round-trips); the wrapper picks it by VMEM footprint."""
+    scratch round-trips); the wrapper picks it by VMEM footprint.
+
+    KV row padding is always < block_k (mp = round_up(m, block_k)), so only
+    the LAST k block can contain padded rows: that iteration is peeled out
+    of the loop and is the only one paying the iota+select mask pass."""
     q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     block_q, cp = q.shape
     mp = k_ref.shape[1]
@@ -103,13 +107,12 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
     acc0 = jnp.zeros((block_q, cv1), dtype=jnp.float32)
 
-    def body(j, carry):
-        m_i, acc = carry
+    def step(j, m_i, acc, masked: bool):
         k = k_ref[0, pl.ds(j * block_k, block_k), :]
         v = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if need_mask:  # skipped statically when M needs no row padding
+        if masked:
             col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, _NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
@@ -120,7 +123,12 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
             preferred_element_type=jnp.float32)
         return m_new, acc_new
 
-    m_i, acc = jax.lax.fori_loop(0, num_kb, body, (m0, acc0))
+    n_unmasked = num_kb - 1 if need_mask else num_kb
+    m_i, acc = jax.lax.fori_loop(
+        0, n_unmasked,
+        lambda j, c: step(j, c[0], c[1], False), (m0, acc0))
+    if need_mask:
+        m_i, acc = step(num_kb - 1, m_i, acc, True)
     o_ref[0] = (acc[:, :-1] / acc[:, -1:]).astype(o_ref.dtype)
     if need_lse:
         lse_ref[:] = _lse_row(m_i, acc[:, -1:])

@@ -354,10 +354,13 @@ def layer_norm_fused(x, gamma, beta, eps: float = 1e-5):
     if jax.default_backend() != "tpu" and rows * c > (1 << 22):
         # interpret mode on huge inputs is slow in tests; use XLA math
         return _ln_reference(x, gamma, beta, eps)
-    # c need NOT be a 128-multiple (full-dim blocks are exempt): the c=320
-    # transformer LayerNorms fell back through an earlier `c % 128` gate and
-    # cost ~10ms/step in XLA convert/reduce fusions (PERF.md round 2)
-    if rows % 8 != 0:
+    # The c % 128 gate is a MEASURED choice, not a Mosaic requirement
+    # (full-dim blocks are exempt from the lane rule, see _ln_pallas):
+    # routing the c=320 transformer LayerNorms to the kernel removed 9.5 ms
+    # of XLA convert/reduce stats but COST ~7 ms more overall — XLA had been
+    # fusing the normalize into the neighboring dots for free, and those
+    # fusions degraded (b=16 trace: 246.4 -> 253.4 ms; PERF.md round 2).
+    if c % 128 != 0 or rows % 8 != 0:
         return _ln_reference(x, gamma, beta, eps)
     interpret = jax.default_backend() != "tpu"
     out = _ln_pallas(x.reshape(rows, c), gamma, beta, eps, interpret)
