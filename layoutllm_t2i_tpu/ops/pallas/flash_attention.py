@@ -85,7 +85,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
         acc = acc_scr[:]
         o_ref[0] = (acc[:, :-1] / acc[:, -1:]).astype(o_ref.dtype)
         if need_lse:
-            lse_ref[:] = _lse_row(m_scr[:, :1], acc[:, -1:])
+            lse_ref[0] = _lse_row(m_scr[:, :1], acc[:, -1:])
 
 
 def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
@@ -131,7 +131,7 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         m_i, acc = step(num_kb - 1, m_i, acc, True)
     o_ref[0] = (acc[:, :-1] / acc[:, -1:]).astype(o_ref.dtype)
     if need_lse:
-        lse_ref[:] = _lse_row(m_i, acc[:, -1:])
+        lse_ref[0] = _lse_row(m_i, acc[:, -1:])
 
 
 # keep total VMEM well under the 16MB budget (K+V resident, double-buffered
@@ -157,10 +157,14 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
     out_shapes = [jax.ShapeDtypeStruct((bh, np_, cp), q.dtype)]
     out_specs = [pl.BlockSpec((1, block_q, cp), lambda b, i, j=None: (b, i, 0),
                               memory_space=pltpu.VMEM)]
-    out_shapes.append(jax.ShapeDtypeStruct((bh, np_) if need_lse else (1, 1),
-                                           jnp.float32))
+    # lse rides as (BH, 1, Np): a (1, block_q) block over (BH, Np) violates
+    # Mosaic's sublane rule (dim -2 block of 1 over BH is neither a multiple
+    # of 8 nor the full dim); with the singleton middle dim the block's last
+    # two dims are (1==full, block_q%128==0)
+    out_shapes.append(jax.ShapeDtypeStruct(
+        (bh, 1, np_) if need_lse else (1, 1), jnp.float32))
     out_specs.append(
-        pl.BlockSpec((1, block_q), lambda b, i, j=None: (b, i),
+        pl.BlockSpec((1, 1, block_q), lambda b, i, j=None: (b, 0, i),
                      memory_space=pltpu.VMEM)
         if need_lse
         else pl.BlockSpec((1, 1), lambda b, i, j=None: (0, 0),
@@ -236,8 +240,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = jnp.transpose(lse_ref[:], (1, 0))   # (BQ, 1)
-    dlt = jnp.transpose(dlt_ref[:], (1, 0))   # (BQ, 1)
+    lse = jnp.transpose(lse_ref[0], (1, 0))   # (BQ, 1)
+    dlt = jnp.transpose(dlt_ref[0], (1, 0))   # (BQ, 1)
 
     s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
@@ -271,8 +275,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = jnp.transpose(lse_ref[:], (1, 0))   # (BQ, 1)
-    dlt = jnp.transpose(dlt_ref[:], (1, 0))
+    lse = jnp.transpose(lse_ref[0], (1, 0))   # (BQ, 1)
+    dlt = jnp.transpose(dlt_ref[0], (1, 0))
 
     s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
@@ -311,7 +315,7 @@ def _flash_bwd_bh(q, k, v, do, lse, delta, scale: float, block_q: int,
                          memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((1, block_k, cp), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM)
-    rowspec = pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
+    rowspec = pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
                            memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
@@ -334,7 +338,7 @@ def _flash_bwd_bh(q, k, v, do, lse, delta, scale: float, block_q: int,
                           memory_space=pltpu.VMEM)
     kspec2 = pl.BlockSpec((1, block_k, cp), lambda b, j, i: (b, j, 0),
                           memory_space=pltpu.VMEM)
-    rowspec2 = pl.BlockSpec((1, block_q), lambda b, j, i: (b, i),
+    rowspec2 = pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i),
                             memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, num_qb=num_qb),
@@ -424,7 +428,7 @@ def _flash_bwd_rule(scale, block_q, block_k, interpret, res, g):
     b_times_h = bh
     gf = _pad_rows(g.reshape(b_times_h, n, c), np_).astype(qf.dtype)
     delta = jnp.sum(gf.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1)                       # (BH, Np)
+                    axis=-1)[:, None, :]           # (BH, 1, Np)
     dq, dk, dv = _flash_bwd_bh(qf, kf, vf, gf, lse, delta, scale, bq, bk, m,
                                interp)
     shape_q = g.shape

@@ -8,6 +8,7 @@ the step now differentiates through the Pallas flash kernels
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 
@@ -28,6 +29,8 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--mixed_precision", action="store_true",
                     help="bf16 compute with f32 master weights")
+    ap.add_argument("--trace", type=str, default=None,
+                    help="write a jax.profiler device trace to this dir")
     args = ap.parse_args()
 
     from layoutllm_t2i_tpu.models.unet import UNetConfig, init_unet_params
@@ -54,7 +57,17 @@ def main():
                            total_steps=1000, remat=args.remat,
                            mixed_precision=args.mixed_precision)
     state, frozen = init_partitioned_state(tcfg, params)
-    step_fn = jax.jit(make_partitioned_train_step(tcfg), donate_argnums=(0,))
+    step_inner = make_partitioned_train_step(tcfg)
+
+    # run --iters steps inside ONE jitted scan: per-dispatch tunnel latency
+    # plus per-call host processing of the ~3000-array state pytree would
+    # otherwise dominate per-step timings (PERF.md measurement traps)
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+    def multi_step(state, frozen, batch, rng, iters):
+        def body(s, i):
+            s2, loss = step_inner(s, frozen, batch, jax.random.fold_in(rng, i))
+            return s2, loss
+        return jax.lax.scan(body, state, jnp.arange(iters))
 
     b = args.batch
     g = np.random.default_rng(0)
@@ -76,14 +89,27 @@ def main():
     }
 
     rng = jax.random.PRNGKey(1)
-    state, loss = step_fn(state, frozen, batch, rng)  # compile
-    float(loss)  # value fetch: block_until_ready can return early (tunnel)
-
+    state, losses = multi_step(state, frozen, batch, rng, args.iters)
+    float(losses[-1])  # compile+first; value fetch forces real sync
+    # second warmup: the first call passed host-built (uncommitted) state, so
+    # the next call with device-resident donated buffers triggers a SILENT
+    # aliasing recompile (~minutes through the remote compiler) — absorb it
+    # here, outside the timed region (PERF.md measurement trap a)
+    state, losses = multi_step(state, frozen, batch,
+                               jax.random.fold_in(rng, 1), args.iters)
+    float(losses[-1])
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            state, losses = multi_step(state, frozen, batch,
+                                       jax.random.fold_in(rng, 3), args.iters)
+            float(losses[-1])
+        print(f"trace written to {args.trace}")
     t0 = time.perf_counter()
-    for i in range(args.iters):
-        state, loss = step_fn(state, frozen, batch, jax.random.fold_in(rng, i))
-    float(loss)  # donated state chains the steps; fetching the last loss
-    dt = (time.perf_counter() - t0) / args.iters  # syncs the whole chain
+    state, losses = multi_step(state, frozen, batch,
+                               jax.random.fold_in(rng, 7), args.iters)
+    loss = losses[-1]
+    float(loss)
+    dt = (time.perf_counter() - t0) / args.iters
 
     print(json.dumps({
         "metric": "train_imgs_per_sec",
