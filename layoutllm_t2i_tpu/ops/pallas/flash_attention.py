@@ -179,7 +179,10 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
         out, lse = pl.pallas_call(
             kernel,
             out_shape=tuple(out_shapes),
-            grid=(bh, np_ // block_q),
+            # cdiv: Q rows need no padding — Mosaic handles a partial tail
+            # block (garbage tail rows compute garbage that lands outside
+            # the (bh, np_, cp) output, and every q row is independent)
+            grid=(bh, pl.cdiv(np_, block_q)),
             in_specs=[
                 pl.BlockSpec((1, block_q, cp), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
@@ -193,7 +196,7 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
         )(q, k, v)
         return (out, lse) if need_lse else out
 
-    grid = (bh, np_ // block_q, num_kb)
+    grid = (bh, pl.cdiv(np_, block_q), num_kb)
     kernel = functools.partial(
         _flash_kernel, block_k=block_k, kv_len=kv_len, scale=scale,
         num_kb=num_kb, need_lse=need_lse, need_mask=need_mask,
@@ -367,7 +370,7 @@ def _pad_rows(x, rows):
     return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, 0)))
 
 
-def _prep(q, k, v, block_q, block_k, interpret):
+def _prep(q, k, v, block_q, block_k, interpret, pad_q=True):
     b, h, n, c = q.shape
     m = k.shape[2]
     if interpret is None:
@@ -389,7 +392,13 @@ def _prep(q, k, v, block_q, block_k, interpret):
         )
     np_ = _round_up(n, block_q)
     mp = _round_up(m, block_k)
-    qf = _pad_rows(q.reshape(b * h, n, c), np_)
+    # pad_q=False (inference): the kernel grids cdiv over Q rows and Mosaic
+    # handles the partial tail block, so the q pad and the output row slice
+    # (plus ~10% wasted tail FLOPs on the M=4126 gated sites) disappear.
+    # The training path keeps padded Q: the dK/dV backward kernel streams Q
+    # blocks with an accumulating scratch and relies on zero padding.
+    qf = (_pad_rows(q.reshape(b * h, n, c), np_) if pad_q
+          else q.reshape(b * h, n, c))
     kf = _pad_rows(k.reshape(b * h, m, c), mp)
     vf = _pad_rows(v.reshape(b * h, m, c), mp)
     return qf, kf, vf, block_q, block_k, interpret
@@ -406,10 +415,11 @@ def flash_attention(q, k, v, scale, block_q=256, block_k=512, interpret=None):
     """q: (B, H, N, C), k/v: (B, H, M, C) -> (B, H, N, C). Differentiable."""
     b, h, n, c = q.shape
     m = k.shape[2]
-    qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret)
+    qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret,
+                                       pad_q=False)
     out = _flash_bh(qf, kf, _ones_col(vf), scale, bq, bk, m, interp,
                     need_lse=False)
-    return out[:, :n, :].reshape(b, h, n, c)
+    return out.reshape(b, h, n, c)
 
 
 def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):

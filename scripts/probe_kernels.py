@@ -174,6 +174,7 @@ def probe_flash():
     ok = fail = 0
     # (B, H, n, m, c): UNet ds=1 self / gated, ds=2, VAE single-head
     for bh, n, m, c in [((2, 8), 4096, 4096, 40), ((2, 8), 4096, 4126, 40),
+                        ((2, 8), 4126, 4126, 40),  # gated site: partial q tail
                         ((2, 8), 1024, 1024, 80), ((2, 1), 4096, 4096, 512)]:
         B, H = bh
         q = jnp.asarray(rng.standard_normal((B, H, n, c)), jnp.bfloat16)
@@ -209,6 +210,10 @@ if __name__ == "__main__":
     if only == "matmul":
         m_ok, m_fail = probe_matmul()
         print(f"SUMMARY matmul={m_ok}ok/{m_fail}fail")
+        raise SystemExit(0)
+    if only == "flash":
+        f_ok, f_fail = probe_flash()
+        print(f"SUMMARY flash={f_ok}ok/{f_fail}fail")
         raise SystemExit(0)
     g_ok, g_fail, g_skip = probe_groupnorm()
     r_ok, r_fail = probe_groupnorm_rows()
