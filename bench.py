@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--vae_chunk", type=int, default=8,
                     help="decode the VAE in chunks of this batch size (peak-"
                          "HBM cap; 0 = whole batch at once)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="shard the prompt batch over ALL local devices "
+                         "(prompt-DP, params replicated) — the multi-chip "
+                         "scaling mode; on one chip it compiles the same "
+                         "program with explicit shardings")
     args = ap.parse_args()
 
     from layoutllm_t2i_tpu.utils.compile_cache import enable_persistent_cache
@@ -89,25 +94,46 @@ def main():
         jnp.float32,
     )
 
-    # vary inputs per iteration: repeated byte-identical remote executions
-    # can be served bogus-fast by the tunnel layer
-    noises = jnp.stack([
-        jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(7), i),
-                          noise.shape, noise.dtype)
-        for i in range(args.iters)
-    ])
+    # vary inputs per iteration AND between warmup/timed dispatches: repeated
+    # byte-identical remote executions can be served bogus-fast by the tunnel
+    # layer, so the timed call must not repeat the warmup call's bytes
+    def make_noises(seed):
+        return jnp.stack([
+            jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(seed), i),
+                              noise.shape, noise.dtype)
+            for i in range(args.iters)
+        ])
+
+    noises = make_noises(7)
+    noises_timed = make_noises(1234)
 
     # all iterations inside ONE jitted scan: measures steady-state device
     # throughput; per-dispatch tunnel latency (~2s/call through axon) would
     # otherwise dominate the timed region
-    @jax.jit
-    def run_all(unet_params, vae_params, sd_conv, cond, noises):
+    def run_all_fn(unet_params, vae_params, sd_conv, cond, noises):
         def body(carry, nz):
             img = pipe._sample_fn(unet_params, vae_params, sd_conv, cond, nz,
                                   jax.random.PRNGKey(0))
             return carry, jnp.sum(img.astype(jnp.float32))
         _, sums = jax.lax.scan(body, 0, noises)
         return sums
+
+    if args.sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from layoutllm_t2i_tpu.parallel.mesh import make_mesh
+
+        n_dev = jax.device_count()
+        assert b % n_dev == 0, f"--batch {b} must divide over {n_dev} devices"
+        mesh = make_mesh(n_dev)
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        run_all = jax.jit(
+            run_all_fn,
+            in_shardings=(repl, repl, repl, data, NamedSharding(mesh, P(None, "data"))),
+            out_shardings=repl,
+        )
+    else:
+        run_all = jax.jit(run_all_fn)
 
     m = pipe.models
     args_all = (m.unet_params, m.vae_params, m.sd_first_conv, cond)
@@ -117,7 +143,7 @@ def main():
     np.asarray(run_all(*args_all, noises))
 
     t0 = time.perf_counter()
-    np.asarray(run_all(*args_all, noises))
+    np.asarray(run_all(*args_all, noises_timed))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = b * args.iters / dt

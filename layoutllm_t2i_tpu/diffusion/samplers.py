@@ -108,6 +108,28 @@ def _schedule_device(schedule: DDPMSchedule):
     }
 
 
+def _alpha_segments(tables: StepTables, denoise_skip_fn):
+    """Split the step range into runs of constant (fuser_scale == 0).
+
+    The grounding alpha table is a trace-time constant (alpha_generator:
+    grounded for the leading stage, plain SD after), so the steps where the
+    gated fusers contribute exactly 0 are statically known; running those in
+    their own scan with a reduced UNet body elides the fuser attention + FF
+    bit-exactly. With no skip variant (or no zero steps) this is one segment
+    and the compiled program is unchanged."""
+    steps = int(tables.t.shape[0])
+    if denoise_skip_fn is None:
+        return [(0, steps, False)]
+    zero = np.asarray(tables.fuser_scale) == 0
+    segs = []
+    start = 0
+    for i in range(1, steps + 1):
+        if i == steps or zero[i] != zero[start]:
+            segs.append((start, i, bool(zero[start])))
+            start = i
+    return segs
+
+
 def plms_sample(
     denoise_fn,
     tables: StepTables,
@@ -115,6 +137,7 @@ def plms_sample(
     schedule: Optional[DDPMSchedule] = None,
     inpaint: Optional[InpaintBlend] = None,
     rng: Optional[jax.Array] = None,
+    denoise_skip_fn=None,
 ):
     """PLMS (pseudo linear multistep, AB up to 4th order) sampling.
 
@@ -122,6 +145,10 @@ def plms_sample(
     concern (see pipeline.inference.make_cfg_denoiser). Deterministic: PLMS
     requires eta=0 so no per-step noise; ``rng`` is only used for the
     inpainting q_sample blend.
+
+    denoise_skip_fn: optional same-signature variant with the gated fusers
+    statically elided; used for the (trace-time constant) steps where
+    fuser_scale == 0 — bit-exact, since those fusers contribute x + 0*(...).
     """
     steps = int(tables.t.shape[0])
     b = x_init.shape[0]
@@ -137,39 +164,45 @@ def plms_sample(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     rngs = jax.random.split(rng, steps)
 
-    # Single scan with the step-0 Heun warm start folded in via lax.cond so
-    # the UNet body is instantiated only twice in the compiled program (the
-    # main eval + the warm-start extra eval) instead of once per unrolled
-    # call — compile time for the 50-step program stays flat.
-    def body(carry, inp):
-        x, hist, count = carry
-        (t, t_nxt, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step) = inp
-        x = blend(x, t, rng_step)
-        tv = jnp.full((b,), t)
-        e_t = denoise_fn(x, tv, fscale, use_sd)
+    # One scan per alpha segment, with the step-0 Heun warm start folded in
+    # via lax.cond so the UNet body is instantiated at most three times in
+    # the compiled program (full main + warm-start + reduced main) instead of
+    # once per unrolled call — compile time for the 50-step program stays flat.
+    def make_body(dn, allow_warm: bool):
+        def body(carry, inp):
+            x, hist, count = carry
+            (t, t_nxt, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step) = inp
+            x = blend(x, t, rng_step)
+            tv = jnp.full((b,), t)
+            e_t = dn(x, tv, fscale, use_sd)
 
-        def heun(_):
-            # pseudo improved Euler (plms.py:144-150)
-            x_mid, _ = _update(x, e_t, a_t, a_prev, sigma, s1m, zero_noise)
-            e_next = denoise_fn(x_mid, jnp.full((b,), t_nxt), fscale, use_sd)
-            return (e_t + e_next) / 2
+            def heun(_):
+                # pseudo improved Euler (plms.py:144-150)
+                x_mid, _ = _update(x, e_t, a_t, a_prev, sigma, s1m, zero_noise)
+                e_next = dn(x_mid, jnp.full((b,), t_nxt), fscale, use_sd)
+                return (e_t + e_next) / 2
 
-        def adams_bashforth(_):
-            return jax.lax.switch(
-                jnp.clip(count, 1, 3) - 1,
-                [
-                    lambda e, h: (3 * e - h[0]) / 2,
-                    lambda e, h: (23 * e - 16 * h[0] + 5 * h[1]) / 12,
-                    lambda e, h: (55 * e - 59 * h[0] + 37 * h[1] - 9 * h[2]) / 24,
-                ],
-                e_t,
-                hist,
-            )
+            def adams_bashforth(_):
+                return jax.lax.switch(
+                    jnp.clip(count, 1, 3) - 1,
+                    [
+                        lambda e, h: (3 * e - h[0]) / 2,
+                        lambda e, h: (23 * e - 16 * h[0] + 5 * h[1]) / 12,
+                        lambda e, h: (55 * e - 59 * h[0] + 37 * h[1] - 9 * h[2]) / 24,
+                    ],
+                    e_t,
+                    hist,
+                )
 
-        e_prime = jax.lax.cond(count == 0, heun, adams_bashforth, None)
-        x_new, _ = _update(x, e_prime, a_t, a_prev, sigma, s1m, zero_noise)
-        hist = jnp.stack([e_t, hist[0], hist[1]])
-        return (x_new, hist, count + 1), None
+            if allow_warm:
+                e_prime = jax.lax.cond(count == 0, heun, adams_bashforth, None)
+            else:
+                # later segments statically start at count >= 1
+                e_prime = adams_bashforth(None)
+            x_new, _ = _update(x, e_prime, a_t, a_prev, sigma, s1m, zero_noise)
+            hist = jnp.stack([e_t, hist[0], hist[1]])
+            return (x_new, hist, count + 1), None
+        return body
 
     hist0 = jnp.stack([zero_noise, zero_noise, zero_noise])
     count0 = jnp.asarray(0, dtype=jnp.int32)
@@ -178,8 +211,12 @@ def plms_sample(
         tables.sigma, tables.sqrt_one_minus_at, tables.fuser_scale,
         tables.use_sd_conv, rngs,
     )
-    (x, _, _), _ = jax.lax.scan(body, (x_init, hist0, count0), xs)
-    return x
+    carry = (x_init, hist0, count0)
+    for a, end, is_zero in _alpha_segments(tables, denoise_skip_fn):
+        dn = denoise_skip_fn if is_zero else denoise_fn
+        carry, _ = jax.lax.scan(make_body(dn, allow_warm=(a == 0)), carry,
+                                tuple(v[a:end] for v in xs))
+    return carry[0]
 
 
 def ddim_sample(
@@ -189,8 +226,12 @@ def ddim_sample(
     schedule: Optional[DDPMSchedule] = None,
     inpaint: Optional[InpaintBlend] = None,
     rng: Optional[jax.Array] = None,
+    denoise_skip_fn=None,
 ):
-    """DDIM sampling (ddim.py:65-135); eta>0 adds sigma-scaled noise."""
+    """DDIM sampling (ddim.py:65-135); eta>0 adds sigma-scaled noise.
+
+    denoise_skip_fn: as in plms_sample — gated-fuser-free variant for the
+    statically known fuser_scale == 0 steps."""
     steps = int(tables.t.shape[0])
     b = x_init.shape[0]
     sched_dev = _schedule_device(schedule) if schedule is not None else None
@@ -198,25 +239,30 @@ def ddim_sample(
     rngs = jax.random.split(rng, steps)
     stochastic = bool(np.any(np.asarray(tables.sigma) > 0))
 
-    def body(x, inp):
-        (t, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step) = inp
-        r_blend, r_noise = jax.random.split(rng_step)
-        if inpaint is not None:
-            img_orig = _q_sample(sched_dev, inpaint.z0, jnp.full((b,), t), r_blend)
-            x = img_orig * inpaint.mask + (1.0 - inpaint.mask) * x
-        tv = jnp.full((b,), t)
-        e_t = denoise_fn(x, tv, fscale, use_sd)
-        noise = (
-            jax.random.normal(r_noise, x.shape, x.dtype)
-            if stochastic
-            else jnp.zeros_like(x)
-        )
-        x_new, _ = _update(x, e_t, a_t, a_prev, sigma, s1m, noise)
-        return x_new, None
+    def make_body(dn):
+        def body(x, inp):
+            (t, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step) = inp
+            r_blend, r_noise = jax.random.split(rng_step)
+            if inpaint is not None:
+                img_orig = _q_sample(sched_dev, inpaint.z0, jnp.full((b,), t), r_blend)
+                x = img_orig * inpaint.mask + (1.0 - inpaint.mask) * x
+            tv = jnp.full((b,), t)
+            e_t = dn(x, tv, fscale, use_sd)
+            noise = (
+                jax.random.normal(r_noise, x.shape, x.dtype)
+                if stochastic
+                else jnp.zeros_like(x)
+            )
+            x_new, _ = _update(x, e_t, a_t, a_prev, sigma, s1m, noise)
+            return x_new, None
+        return body
 
     xs = (
         tables.t, tables.a_t, tables.a_prev, tables.sigma,
         tables.sqrt_one_minus_at, tables.fuser_scale, tables.use_sd_conv, rngs,
     )
-    x, _ = jax.lax.scan(body, x_init, xs)
+    x = x_init
+    for a, end, is_zero in _alpha_segments(tables, denoise_skip_fn):
+        dn = denoise_skip_fn if is_zero else denoise_fn
+        x, _ = jax.lax.scan(make_body(dn), x, tuple(v[a:end] for v in xs))
     return x

@@ -137,7 +137,11 @@ def get_all_metrics(candidates: List[str], references: List[List[str]]) -> Dict[
         "bleu1": b[0], "bleu2": b[1], "bleu3": b[2], "bleu4": b[3],
         "rouge_l": rouge_l(candidates, references),
         "cider_d": cider_d(candidates, references),
-        "meteor": meteor(candidates, references),
+        # "_lite" keys: approximations of the Java-dependency metrics — this
+        # METEOR implements only the exact+Porter-stem matcher stages (no
+        # WordNet/paraphrase tables); numbers are NOT comparable to
+        # pycocoevalcap's. See README eval section.
+        "meteor_lite": meteor(candidates, references),
         "spice_lite": spice_lite(candidates, references),
     }
 

@@ -227,9 +227,14 @@ _FUSERS = {
 def basic_transformer_block(p, x, context, objs, relations, boxes, masks,
                             h: int, w: int, heads: int, fuser_scale=1.0,
                             fuser_type: str = "gatedSA", impl: str = "auto",
-                            use_rela: bool = True):
+                            use_rela: bool = True, skip_gated: bool = False):
     x = self_attention(p["attn1"], nn.layer_norm(p["norm1"], x), heads, impl=impl) + x
-    x = _FUSERS[fuser_type](p["fuser"], x, objs, heads, fuser_scale, impl=impl)
+    if not skip_gated:
+        # skip_gated: the sampler statically knows fuser_scale == 0 for this
+        # step (alpha_generator's trailing stage) — every gated contribution
+        # is x + 0*(...) = x exactly, so the fuser attention + FF are dead
+        # compute and eliding them is bit-exact (see samplers.plms_sample)
+        x = _FUSERS[fuser_type](p["fuser"], x, objs, heads, fuser_scale, impl=impl)
     if use_rela:
         # NOTE: the relation fuser keeps scale=1 always — set_alpha_scale only
         # touches the gated fusers (txt2img.py:46-50)
@@ -267,7 +272,8 @@ def init_basic_transformer_block(key, query_dim, key_dim, value_dim, heads, d_he
 
 def spatial_transformer(p, x, context, objs, relations, boxes, masks, heads: int,
                         fuser_scale=1.0, fuser_type: str = "gatedSA",
-                        depth: int = 1, impl: str = "auto", use_rela: bool = True):
+                        depth: int = 1, impl: str = "auto", use_rela: bool = True,
+                        skip_gated: bool = False):
     """x: (B, H, W, C) NHWC. Conv-in/out are 1x1 (attention.py:405-446)."""
     b, h, w, cin = x.shape
     x_in = x
@@ -278,6 +284,7 @@ def spatial_transformer(p, x, context, objs, relations, boxes, masks, heads: int
         x = basic_transformer_block(
             p["transformer_blocks"][str(d)], x, context, objs, relations, boxes,
             masks, h, w, heads, fuser_scale, fuser_type, impl=impl, use_rela=use_rela,
+            skip_gated=skip_gated,
         )
     x = x.reshape(b, h, w, -1)
     x = nn.conv2d(p["proj_out"], x, padding=0)

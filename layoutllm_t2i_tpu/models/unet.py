@@ -282,6 +282,7 @@ def unet_apply(
     attn_impl: str = "auto",
     extra_grounding: Optional[dict] = None,           # text_image mode inputs
     objs: Optional[jnp.ndarray] = None,               # precomputed grounding tokens
+    skip_gated: bool = False,                         # static: fuser_scale == 0
 ):
     """One eps-prediction forward (openaimodel.py:413-459).
 
@@ -289,10 +290,14 @@ def unet_apply(
     scan: they depend only on the (step-invariant) grounding inputs, yet the
     reference recomputes position_net per UNet call — for the ConvNeXt map
     tokenizer that is 100 backbone evals per 50-step CFG sample."""
-    if objs is None:
+    if skip_gated:
+        # grounding tokens feed only the gated fusers; with those statically
+        # elided (fuser_scale == 0 steps) position_net is dead compute too
+        objs = None
+    elif objs is None:
         objs = _apply_position_net(params["position_net"], cfg, boxes, masks,
                                    positive_embeddings, extra_grounding)
-    objs = objs.astype(x.dtype)
+    objs = None if objs is None else objs.astype(x.dtype)
 
     t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
     emb = nn.linear(params["time_embed"]["0"], t_emb)
@@ -309,7 +314,7 @@ def unet_apply(
         return spatial_transformer(
             p_st, h, context, objs, relations, boxes, masks, cfg.num_heads,
             fuser_scale, cfg.fuser_type, cfg.transformer_depth, impl=attn_impl,
-            use_rela=cfg.use_relation_attention,
+            use_rela=cfg.use_relation_attention, skip_gated=skip_gated,
         )
 
     hs = []

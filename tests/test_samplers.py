@@ -131,3 +131,42 @@ def test_ddim_eta_adds_noise(rng):
     a2 = ddim_sample(denoise, tables, x0, rng=jax.random.PRNGKey(1))
     assert not np.allclose(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(np.asarray(a), np.asarray(a2))
+
+
+def test_alpha_segment_skip_is_bitexact(rng):
+    """Steps with statically-zero fuser_scale run a reduced UNet body
+    (gated fusers elided); the sampled trajectory must be IDENTICAL to the
+    full-body scan — the fusers contribute exactly x + 0*(...) there."""
+    from layoutllm_t2i_tpu.models.unet import UNetConfig, init_unet_params
+    from layoutllm_t2i_tpu.models.unet import unet_apply
+
+    cfg = UNetConfig(image_size=8, model_channels=32, num_res_blocks=1,
+                     attention_resolutions=(2, 1), channel_mult=(1, 2),
+                     num_heads=2, context_dim=32, grounding_in_dim=32,
+                     grounding_out_dim=32)
+    params = init_unet_params(jax.random.PRNGKey(0), cfg)
+    tables = make_step_tables(SCHED, 10, alpha_type=(0.3, 0.0, 0.7))
+    b = 2
+    ctx = jnp.asarray(rng.standard_normal((b, 7, 32)), jnp.float32)
+    boxes = jnp.tile(jnp.asarray([[0.1, 0.1, 0.8, 0.9]], jnp.float32), (b, 3, 1))
+    boxes = jnp.pad(boxes, ((0, 0), (0, 27), (0, 0)))
+    masks = jnp.pad(jnp.ones((b, 3), jnp.float32), ((0, 0), (0, 27)))
+    pos = jnp.asarray(rng.standard_normal((b, 30, 32)), jnp.float32)
+    rel = jnp.asarray(rng.standard_normal((b, 4, 32)), jnp.float32)
+
+    def make_denoise(skip):
+        def denoise(x, t, fscale, use_sd):
+            return unet_apply(params, cfg, x, t, ctx, boxes, masks, pos, rel,
+                              fuser_scale=fscale, skip_gated=skip)
+        return denoise
+
+    x0 = jnp.asarray(rng.standard_normal((b, 8, 8, 4)), jnp.float32)
+    full = np.asarray(plms_sample(make_denoise(False), tables, x0))
+    seg = np.asarray(plms_sample(make_denoise(False), tables, x0,
+                                 denoise_skip_fn=make_denoise(True)))
+    np.testing.assert_array_equal(full, seg)
+
+    d_full = np.asarray(ddim_sample(make_denoise(False), tables, x0))
+    d_seg = np.asarray(ddim_sample(make_denoise(False), tables, x0,
+                                   denoise_skip_fn=make_denoise(True)))
+    np.testing.assert_array_equal(d_full, d_seg)
