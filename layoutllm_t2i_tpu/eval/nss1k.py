@@ -221,7 +221,11 @@ def main(argv=None):
     ap.add_argument("--fid", action="store_true")
     ap.add_argument("--img_dir", type=str, default=None,
                     help="GT COCO image dir (required for --fid)")
-    ap.add_argument("--inception_ckpt", type=str, default=None)
+    ap.add_argument("--inception_ckpt", type=str, default=None,
+                    help="torchvision/pytorch-fid inception_v3 .pth")
+    ap.add_argument("--clip_ckpt", type=str, default=None,
+                    help="full CLIPModel .pth for the scoring towers")
+    ap.add_argument("--aesthetic_ckpt", type=str, default=None)
     args = ap.parse_args(argv)
     assert args.data_path or args.data_dir, "need --data_path or --data_dir"
 
@@ -235,8 +239,8 @@ def main(argv=None):
               else random_models(small=args.small))
     pipe = InferencePipeline(models, steps=args.steps, sampler="plms",
                              guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7))
-    reward_args = argparse.Namespace(small=args.small, clip_ckpt=None,
-                                     aesthetic_ckpt=None)
+    reward_args = argparse.Namespace(small=args.small, clip_ckpt=args.clip_ckpt,
+                                     aesthetic_ckpt=args.aesthetic_ckpt)
     reward = build_reward(reward_args)
 
     planner_fn = None

@@ -158,12 +158,19 @@ class RLTrainer:
         if not keep_rows:
             return 0.0, 0.0
 
-        # pad the generation/reward batch back to the chunk size by repeating
-        # the last kept row: the PLMS-50 program then compiles once per batch
-        # size instead of once per distinct kept-count (each extra signature
-        # costs a full sampler compile); padded rewards are masked out below
+        # pad the generation/reward batch to the next power-of-two bucket
+        # (capped at the chunk size) by repeating the last kept row: the
+        # PLMS-50 program compiles once per bucket — at most log2(B)+1
+        # signatures — instead of once per distinct kept-count, while a batch
+        # where most parses failed no longer spends (B-1)/B of its diffusion
+        # cost on throwaway rows (VERDICT r2 weak #4); padded rewards are
+        # masked out below
         n_keep = len(keep_rows)
-        pad = len(chunk) - n_keep
+        bucket = 1
+        while bucket < n_keep:
+            bucket *= 2
+        bucket = min(bucket, len(chunk))
+        pad = bucket - n_keep
         captions_p = captions + [captions[-1]] * pad
         layouts_pred_p = layouts_pred + [layouts_pred[-1]] * pad
         layouts_gt_p = layouts_gt + [layouts_gt[-1]] * pad

@@ -69,10 +69,16 @@ def main():
     for var in args.variants.split(","):
         parts = var.split("x")
         bq, bk = int(parts[0]), int(parts[1])
-        # optional third field: a0/a1 toggles LLT2I_FLASH_ADAPTIVE_K; reset
-        # each iteration so a suffixed variant doesn't leak into later ones
-        os.environ["LLT2I_FLASH_ADAPTIVE_K"] = (
-            parts[2][1:] if len(parts) > 2 else "0")
+        # optional extra fields: aN toggles LLT2I_FLASH_ADAPTIVE_K, e<impl>
+        # sets LLT2I_FLASH_EXP (eexp / eexp2 / ebf16). Reset both each
+        # iteration so a suffixed variant doesn't leak into later ones.
+        os.environ["LLT2I_FLASH_ADAPTIVE_K"] = "0"
+        os.environ["LLT2I_FLASH_EXP"] = "exp"
+        for extra in parts[2:]:
+            if extra.startswith("a"):
+                os.environ["LLT2I_FLASH_ADAPTIVE_K"] = extra[1:]
+            elif extra.startswith("e"):
+                os.environ["LLT2I_FLASH_EXP"] = extra[1:]
         attn_mod._BLOCK_Q = bq
         attn_mod._BLOCK_K = bk
         loop = make_loop()

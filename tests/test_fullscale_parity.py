@@ -122,10 +122,12 @@ def test_sd14_unet_forward_parity(rng, sd14):
 
 
 def test_sd14_plms_short_trajectory_parity(rng, sd14):
-    """3-step PLMS at full geometry with CFG 7.5, the [0.3,0,0.7] alpha
-    schedule and the first-conv restore (covers the Heun warm start, the
-    alpha==0 segment with the statically-skipped gated fusers, and the
-    SD-conv select at real widths)."""
+    """4-step PLMS at full geometry with CFG 7.5, the [0.3,0,0.7] alpha
+    schedule and the first-conv restore (covers the Heun warm start, all
+    Adams-Bashforth orders, the alpha==0 segment with the statically-skipped
+    gated fusers, and the SD-conv select at real widths). 4 steps, not 3:
+    the reference's make_ddim_timesteps indexes alphacums[1000] when S
+    doesn't divide 1000 evenly enough (util.py:55-74 off-by-one)."""
     from test_reference_parity import _run_our_trajectory, _run_reference_trajectory
     from layoutllm_t2i_tpu.checkpoint.convert import convert_tensor
 
@@ -142,10 +144,10 @@ def test_sd14_plms_short_trajectory_parity(rng, sd14):
 
     out_ref = _run_reference_trajectory(
         ref, x, ctx, uc, boxes, masks, emb, rel, sd_conv_w, sd_conv_b,
-        steps=3, guidance=7.5, alpha_type=(0.3, 0.0, 0.7))
+        steps=4, guidance=7.5, alpha_type=(0.3, 0.0, 0.7))
     ours = _run_our_trajectory(
         params, cfg, x, ctx, uc, boxes, masks, emb, rel, sd_conv,
-        steps=3, guidance=7.5, alpha_type=(0.3, 0.0, 0.7))
+        steps=4, guidance=7.5, alpha_type=(0.3, 0.0, 0.7))
     np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), out_ref,
                                atol=1e-3, rtol=1e-3)
 
