@@ -67,12 +67,27 @@ def linear(p, x):
 
 
 def conv2d(p, x, stride: int = 1, padding=1):
-    """2-D conv; x: NHWC, kernel: HWIO. ``padding`` is an int or explicit list."""
+    """2-D conv; x: NHWC, kernel: HWIO. ``padding`` is an int or explicit list.
+
+    1x1 stride-1 convs lower to a plain dot over the channel axis: XLA TPU
+    keeps them as convolution ops in its conv-preferred {3,0,2,1} activation
+    layout, which forces {3,0,2,1}<->{3,2,1,0} copy pairs at every
+    spatial-transformer/Pallas boundary (see PERF.md round 3); as dots they
+    stay in the standard layout the attention path needs.
+    (LLT2I_CONV1X1_DOT=0 restores the conv lowering for A/B runs.)
+    """
+    w = p["weight"]
+    if (w.shape[0] == 1 and w.shape[1] == 1 and stride == 1 and padding == 0
+            and os.environ.get("LLT2I_CONV1X1_DOT", "1") == "1"):
+        y = jnp.dot(x, w[0, 0].astype(x.dtype))
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+        return y
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     y = lax.conv_general_dilated(
         x,
-        p["weight"].astype(x.dtype),
+        w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

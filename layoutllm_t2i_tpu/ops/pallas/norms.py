@@ -262,7 +262,17 @@ def _gn_reference(x, gamma, beta, num_groups: int, eps: float, silu: bool):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def group_norm_silu(x, gamma, beta, num_groups: int = 32, eps: float = 1e-5,
                     silu: bool = False):
-    """Fused GroupNorm(+SiLU) over NHWC with f32 statistics."""
+    """Fused GroupNorm(+SiLU) over NHWC with f32 statistics.
+
+    LLT2I_DISABLE_FUSED_GN=1 keeps GroupNorm on the XLA path while leaving
+    the LayerNorm kernel on: the GN custom call pins a standard layout on a
+    conv-adjacent activation, and the HLO shows XLA paying {3,0,2,1} <->
+    {3,2,1,0} copy pairs at those boundaries — this knob isolates whether
+    the one-pass kernel still wins end-to-end after those copies."""
+    import os
+
+    if os.environ.get("LLT2I_DISABLE_FUSED_GN", "0") == "1":
+        return _gn_reference(x, gamma, beta, num_groups, eps, silu)
     interpret = jax.default_backend() != "tpu"
     n, h, w, c = x.shape
     k = (_gn_group_chunks(h * w, c, num_groups, x.dtype.itemsize)

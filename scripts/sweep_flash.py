@@ -69,16 +69,17 @@ def main():
     for var in args.variants.split(","):
         parts = var.split("x")
         bq, bk = int(parts[0]), int(parts[1])
-        # optional extra fields: aN toggles LLT2I_FLASH_ADAPTIVE_K, e<impl>
-        # sets LLT2I_FLASH_EXP (eexp / eexp2 / ebf16). Reset both each
-        # iteration so a suffixed variant doesn't leak into later ones.
+        # optional extra fields: aN toggles LLT2I_FLASH_ADAPTIVE_K, eN sets
+        # LLT2I_FLASH_EXP by index (e0=exp, e1=exp2, e2=bf16 — names would
+        # collide with the 'x' separator). Reset both each iteration so a
+        # suffixed variant doesn't leak into later ones.
         os.environ["LLT2I_FLASH_ADAPTIVE_K"] = "0"
         os.environ["LLT2I_FLASH_EXP"] = "exp"
         for extra in parts[2:]:
             if extra.startswith("a"):
                 os.environ["LLT2I_FLASH_ADAPTIVE_K"] = extra[1:]
             elif extra.startswith("e"):
-                os.environ["LLT2I_FLASH_EXP"] = extra[1:]
+                os.environ["LLT2I_FLASH_EXP"] = ("exp", "exp2", "bf16")[int(extra[1:])]
         attn_mod._BLOCK_Q = bq
         attn_mod._BLOCK_K = bk
         loop = make_loop()

@@ -72,7 +72,10 @@ def test_rl_trainer_smoke(tmp_path, pipe):
     ]
 
     def fake_llm(prompt):
-        if "caption 1" in prompt:   # unparseable -> row dropped, batch padded
+        # match the QUERY caption (last 'input:' line), not the in-context
+        # shots, which can also contain 'caption 1'
+        query = prompt.rsplit("input:", 1)[-1]
+        if "caption 1" in query:    # unparseable -> row dropped, batch padded
             return "no layout here"
         return "output:\ndog: [0.30, 0.30, 0.40, 0.40]"
 
@@ -104,12 +107,13 @@ def test_rl_trainer_smoke(tmp_path, pipe):
     assert (tmp_path / "history.json").exists()
     assert (tmp_path / "ckpt_best_reward.pkl").exists()
     assert not np.array_equal(p0, np.asarray(tr.params["linear"]["weight"]))
-    # RL fidelity: fresh noise per rollout batch (distinct seeds) and a
-    # constant generation batch size (padded to the chunk size, so the jitted
-    # PLMS program compiles once even when predictions are dropped)
+    # RL fidelity: fresh noise per rollout batch (distinct seeds) and
+    # power-of-two generation buckets (the jitted PLMS program compiles at
+    # most log2(B)+1 signatures even when predictions are dropped): batches
+    # with one parseable row pad to bucket 1, full batches to 2
     seeds = [s for _, s in gen_calls]
     assert len(set(seeds)) == len(seeds) and None not in seeds
-    assert set(b for b, _ in gen_calls) == {2}
+    assert [b for b, _ in gen_calls] == [1, 2, 1, 2]
     # resume path
     cfg2 = RLConfig(epochs=1, batch_size=2, shot_number=2, embedding_size=8,
                     in_dim=32, ckpt_path=str(tmp_path), resume=str(tmp_path))

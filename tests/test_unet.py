@@ -92,3 +92,23 @@ def test_grounding_null_input_matches_zero_masks(tiny_model):
     zb, zm, zp = jnp.zeros_like(boxes), jnp.zeros_like(masks), jnp.zeros_like(pos)
     out = unet_apply(params, cfg, x, t, context, zb, zm, zp, relations)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conv1x1_dot_matches_conv_lowering(rng):
+    """1x1 stride-1 pad-0 convs lower to a channel dot (layout fix, PERF.md
+    round 3); both lowerings must agree numerically."""
+    import os
+    from layoutllm_t2i_tpu.models import initializers as init
+    from layoutllm_t2i_tpu.ops import nn as jnn
+
+    p = init.conv_p(jax.random.PRNGKey(0), 1, 1, 12, 20)
+    x = jnp.asarray(rng.standard_normal((2, 9, 9, 12)), jnp.float32)
+    os.environ["LLT2I_CONV1X1_DOT"] = "1"
+    y_dot = jnn.conv2d(p, x, padding=0)
+    os.environ["LLT2I_CONV1X1_DOT"] = "0"
+    try:
+        y_conv = jnn.conv2d(p, x, padding=0)
+    finally:
+        os.environ.pop("LLT2I_CONV1X1_DOT", None)
+    np.testing.assert_allclose(np.asarray(y_dot), np.asarray(y_conv),
+                               atol=1e-5, rtol=1e-5)
