@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--vae", action="store_true", help="also trace VAE decode")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--skip_gated", action="store_true",
+                    help="trace the reduced (fuser_scale==0 segment) body")
     args = ap.parse_args()
 
     from layoutllm_t2i_tpu.models.unet import UNetConfig, init_unet_params, unet_apply
@@ -63,7 +65,7 @@ def main():
     def fwd(params, i):
         return unet_apply(params, cfg, i["x"], i["t"], i["ctx"], i["boxes"],
                           i["masks"], i["pos"], i["rel"],
-                          fuser_scale=i["fscale"])
+                          fuser_scale=i["fscale"], skip_gated=args.skip_gated)
 
     fwd = functools.partial(fwd, params)
     out = fwd(inputs)
