@@ -162,9 +162,41 @@ def _flash_kernel_fullkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         lse_ref[0] = _lse_row(m_i, acc[:, -1:], logf)
 
 
+def _attn_kernel_wholerow(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                          kv_len: int, scale: float, need_lse: bool,
+                          need_mask: bool, exp_impl: str):
+    """Whole-row softmax: K/V resident AND the full (BQ, Mp) score row held
+    in VMEM — one QK dot, one row max, one exp pass, one PV dot. Removes the
+    online-softmax machinery entirely (no per-block rescale, no loop-carried
+    (m, acc) dependency serializing MXU behind VPU), which the block sweep
+    showed was the fullkv loop's real overhead (exp flavor: no effect;
+    PERF.md round 3). Used when block_q*Mp*4B fits the VMEM budget."""
+    expf, logf, qmul, pdt = _exp_cfg(exp_impl)
+    q = (q_ref[0].astype(jnp.float32) * (scale * qmul)).astype(q_ref.dtype)
+    k = k_ref[0]                                       # (Mp, C)
+    v = v_ref[0]                                       # (Mp, Cv+1), ones col
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # (BQ, Mp)
+    if need_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    d = s - m
+    p = expf(d.astype(pdt)) if pdt is not None else expf(d)
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (BQ, Cv+1)
+    o_ref[0] = (acc[:, :-1] / acc[:, -1:]).astype(o_ref.dtype)
+    if need_lse:
+        lse_ref[0] = _lse_row(m, acc[:, -1:], logf)
+
+
 # keep total VMEM well under the 16MB budget (K+V resident, double-buffered
 # q/out blocks, f32 accumulator)
 _FULLKV_VMEM_BYTES = 4 * 1024 * 1024
+# whole-row variant: f32 scores (block_q x Mp) + bf16 exp'd copy resident
+_WHOLEROW_S_BYTES = 6 * 1024 * 1024
 
 
 @functools.partial(
@@ -183,6 +215,18 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
     num_kb = mp // block_k
     kv_bytes = 2 * mp * cp * q.dtype.itemsize
 
+    # whole-row variant: shrink block_q until the f32 score row fits
+    mono_bq = block_q
+    while mono_bq > 128 and mono_bq * mp * 4 > _WHOLEROW_S_BYTES:
+        mono_bq //= 2
+    use_mono = (
+        kv_bytes <= _FULLKV_VMEM_BYTES
+        and mono_bq * mp * 4 <= _WHOLEROW_S_BYTES
+        and os.environ.get("LLT2I_FLASH_MONO", "1") == "1"
+    )
+    if use_mono:
+        block_q = mono_bq
+
     out_shapes = [jax.ShapeDtypeStruct((bh, np_, cp), q.dtype)]
     out_specs = [pl.BlockSpec((1, block_q, cp), lambda b, i, j=None: (b, i, 0),
                               memory_space=pltpu.VMEM)]
@@ -200,6 +244,28 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
                           memory_space=pltpu.VMEM))
 
     need_mask = kv_len != mp
+    if use_mono:
+        kernel = functools.partial(
+            _attn_kernel_wholerow, kv_len=kv_len, scale=scale,
+            need_lse=need_lse, need_mask=need_mask, exp_impl=exp_impl,
+        )
+        out, lse = pl.pallas_call(
+            kernel,
+            out_shape=tuple(out_shapes),
+            grid=(bh, pl.cdiv(np_, block_q)),
+            in_specs=[
+                pl.BlockSpec((1, block_q, cp), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mp, cp), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mp, cv1), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(out_specs),
+            interpret=interpret,
+        )(q, k, v)
+        return (out, lse) if need_lse else out
+
     if kv_bytes <= _FULLKV_VMEM_BYTES:
         kernel = functools.partial(
             _flash_kernel_fullkv, block_k=block_k, kv_len=kv_len, scale=scale,

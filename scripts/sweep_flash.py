@@ -75,11 +75,14 @@ def main():
         # suffixed variant doesn't leak into later ones.
         os.environ["LLT2I_FLASH_ADAPTIVE_K"] = "0"
         os.environ["LLT2I_FLASH_EXP"] = "exp"
+        os.environ["LLT2I_FLASH_MONO"] = "1"
         for extra in parts[2:]:
             if extra.startswith("a"):
                 os.environ["LLT2I_FLASH_ADAPTIVE_K"] = extra[1:]
             elif extra.startswith("e"):
                 os.environ["LLT2I_FLASH_EXP"] = ("exp", "exp2", "bf16")[int(extra[1:])]
+            elif extra.startswith("m"):
+                os.environ["LLT2I_FLASH_MONO"] = extra[1:]
         attn_mod._BLOCK_Q = bq
         attn_mod._BLOCK_K = bk
         loop = make_loop()
