@@ -72,9 +72,8 @@ def gated_self_attention(p, x, objs, heads: int, scale, impl: str = "auto"):
     attn_out = self_attention(p["attn"], nn.layer_norm(p["norm1"], cat), heads, impl=impl)
     attn_out = attn_out[:, :n_visual, :]
     x = x + scale * jnp.tanh(p["alpha_attn"]) * attn_out
-    x = x + scale * jnp.tanh(p["alpha_dense"]) * nn.geglu_ff(
-        p["ff"], nn.layer_norm(p["norm2"], x)
-    )
+    x = nn.ln_geglu_ff_scaled_res(p["ff"], p["norm2"], x,
+                                  scale * jnp.tanh(p["alpha_dense"]))
     return x
 
 
@@ -83,9 +82,8 @@ def gated_cross_attention(p, x, objs, heads: int, scale, impl: str = "auto"):
     x = x + scale * jnp.tanh(p["alpha_attn"]) * cross_attention(
         p["attn"], nn.layer_norm(p["norm1"], x), objs, objs, heads, impl=impl
     )
-    x = x + scale * jnp.tanh(p["alpha_dense"]) * nn.geglu_ff(
-        p["ff"], nn.layer_norm(p["norm2"], x)
-    )
+    x = nn.ln_geglu_ff_scaled_res(p["ff"], p["norm2"], x,
+                                  scale * jnp.tanh(p["alpha_dense"]))
     return x
 
 
@@ -106,9 +104,8 @@ def gated_self_attention2(p, x, objs, heads: int, scale, impl: str = "auto"):
     out = jax.image.resize(out, (b, size_v, size_v, out.shape[-1]), method="bicubic")
     residual = out.reshape(b, n_visual, -1)
     x = x + scale * jnp.tanh(p["alpha_attn"]) * residual
-    x = x + scale * jnp.tanh(p["alpha_dense"]) * nn.geglu_ff(
-        p["ff"], nn.layer_norm(p["norm2"], x)
-    )
+    x = nn.ln_geglu_ff_scaled_res(p["ff"], p["norm2"], x,
+                                  scale * jnp.tanh(p["alpha_dense"]))
     return x
 
 
@@ -242,7 +239,7 @@ def basic_transformer_block(p, x, context, objs, relations, boxes, masks,
                                       h, w, heads, impl=impl) + x) / 2
     x = cross_attention(p["attn2"], nn.layer_norm(p["norm2"], x), context, context,
                         heads, impl=impl) + x
-    x = nn.geglu_ff(p["ff"], nn.layer_norm(p["norm3"], x)) + x
+    x = nn.ln_geglu_ff_res(p["ff"], p["norm3"], x)
     return x
 
 

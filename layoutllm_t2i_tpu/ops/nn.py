@@ -48,6 +48,17 @@ def _pallas_matmul_enabled() -> bool:
     )
 
 
+def _pallas_ffn_enabled() -> bool:
+    """Fully fused FF kernel (up-proj + GEGLU + down-proj + residual in one
+    pallas_call, intermediate VMEM-resident; ops/pallas/ffn.py). Opt-out
+    (LLT2I_PALLAS_FFN=0): unlike round 2's generic GEMM experiments this
+    removes the (M, 2*inner) HBM round-trip entirely (PERF.md round 3)."""
+    return (
+        os.environ.get("LLT2I_PALLAS_FFN", "1") == "1"
+        and jax.default_backend() == "tpu"
+    )
+
+
 def linear(p, x):
     w = p["weight"]
     if _pallas_matmul_enabled():
@@ -173,6 +184,89 @@ def geglu_ff(p, x):
     a, gate = jnp.split(h, 2, axis=-1)
     h = a * gelu(gate)
     return linear(p["net"]["2"], h)
+
+
+def geglu_ff_res(p, x, residual):
+    """geglu_ff(p, x) + residual — the BasicTransformerBlock's
+    `ff(norm3(x)) + x` site (GLIGEN attention.py:394-402). On TPU the whole
+    FF (both matmuls, GEGLU gate, output bias, residual add) runs as ONE
+    Pallas kernel with the (M, inner) gated activation VMEM-resident
+    (ops/pallas/ffn.py)."""
+    proj = p["net"]["0"]["proj"]
+    out = p["net"]["2"]
+    if _pallas_ffn_enabled() and proj.get("bias") is not None \
+            and out.get("bias") is not None:
+        from .pallas.ffn import ffn_eligible, ffn_geglu_fused
+
+        w = proj["weight"]
+        k, n2 = w.shape
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        if ffn_eligible(m, k, n2 // 2):
+            wd = w.astype(x.dtype)
+            y = ffn_geglu_fused(
+                x.reshape(m, k), wd[:, : n2 // 2], wd[:, n2 // 2:],
+                proj["bias"][: n2 // 2], proj["bias"][n2 // 2:],
+                out["weight"].astype(x.dtype), out["bias"],
+                residual.reshape(m, k))
+            return y.reshape(x.shape)
+    return geglu_ff(p, x) + residual
+
+
+def ln_geglu_ff_res(p_ff, p_norm, x):
+    """geglu_ff(p_ff, layer_norm(p_norm, x)) + x as ONE Pallas kernel: the
+    LN is computed in-kernel (XLA can't fuse it into a custom call, so
+    leaving it outside would make it a standalone bandwidth op) and the raw
+    x block doubles as the residual. LLT2I_FFN_LN=0 splits the LN back out
+    (for A/B), falling through to geglu_ff_res."""
+    proj = p_ff["net"]["0"]["proj"]
+    out = p_ff["net"]["2"]
+    if _pallas_ffn_enabled() and os.environ.get("LLT2I_FFN_LN", "1") == "1" \
+            and proj.get("bias") is not None and out.get("bias") is not None:
+        from .pallas.ffn import ffn_eligible, ffn_ln_geglu_fused
+
+        w = proj["weight"]
+        k, n2 = w.shape
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        if ffn_eligible(m, k, n2 // 2):
+            wd = w.astype(x.dtype)
+            y = ffn_ln_geglu_fused(
+                x.reshape(m, k), wd[:, : n2 // 2], wd[:, n2 // 2:],
+                proj["bias"][: n2 // 2], proj["bias"][n2 // 2:],
+                out["weight"].astype(x.dtype), out["bias"],
+                p_norm["weight"], p_norm["bias"])
+            return y.reshape(x.shape)
+    return geglu_ff_res(p_ff, layer_norm(p_norm, x), x)
+
+
+def ln_geglu_ff_scaled_res(p_ff, p_norm, x, s):
+    """x + s * geglu_ff(p_ff, layer_norm(p_norm, x)) — the gated fusers'
+    dense branch (s = fuser_scale * tanh(alpha_dense)), fused like
+    ln_geglu_ff_res with the scalar applied in the kernel epilogue."""
+    proj = p_ff["net"]["0"]["proj"]
+    out = p_ff["net"]["2"]
+    if _pallas_ffn_enabled() and os.environ.get("LLT2I_FFN_LN", "1") == "1" \
+            and proj.get("bias") is not None and out.get("bias") is not None:
+        from .pallas.ffn import ffn_eligible, ffn_ln_geglu_scaled
+
+        w = proj["weight"]
+        k, n2 = w.shape
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        if ffn_eligible(m, k, n2 // 2):
+            wd = w.astype(x.dtype)
+            y = ffn_ln_geglu_scaled(
+                x.reshape(m, k), wd[:, : n2 // 2], wd[:, n2 // 2:],
+                proj["bias"][: n2 // 2], proj["bias"][n2 // 2:],
+                out["weight"].astype(x.dtype), out["bias"],
+                p_norm["weight"], p_norm["bias"], s)
+            return y.reshape(x.shape)
+    return x + jnp.asarray(s).astype(x.dtype) * geglu_ff(
+        p_ff, layer_norm(p_norm, x))
 
 
 def nearest_upsample_2x(x):

@@ -76,6 +76,7 @@ def main():
         os.environ["LLT2I_FLASH_ADAPTIVE_K"] = "0"
         os.environ["LLT2I_FLASH_EXP"] = "exp"
         os.environ["LLT2I_FLASH_MONO"] = "1"
+        os.environ["LLT2I_PALLAS_FFN"] = "1"
         for extra in parts[2:]:
             if extra.startswith("a"):
                 os.environ["LLT2I_FLASH_ADAPTIVE_K"] = extra[1:]
@@ -83,6 +84,8 @@ def main():
                 os.environ["LLT2I_FLASH_EXP"] = ("exp", "exp2", "bf16")[int(extra[1:])]
             elif extra.startswith("m"):
                 os.environ["LLT2I_FLASH_MONO"] = extra[1:]
+            elif extra.startswith("f"):
+                os.environ["LLT2I_PALLAS_FFN"] = extra[1:]
         attn_mod._BLOCK_Q = bq
         attn_mod._BLOCK_K = bk
         loop = make_loop()

@@ -100,3 +100,126 @@ def test_nn_linear_geglu_unchanged_on_cpu(rng):
     np.testing.assert_allclose(np.asarray(nn.linear(p, x)),
                                np.asarray(x @ p["weight"] + p["bias"]),
                                atol=1e-5)
+
+
+# --- fully fused FF (ops/pallas/ffn.py): up-proj + GEGLU + down-proj +
+# residual in one kernel, gated activation VMEM-resident (PERF.md round 3)
+
+@pytest.mark.parametrize("m,k,inner", [
+    (2048, 320, 1280),   # 64^2 transformer FF (the dominant site)
+    (1024, 640, 2560),   # 32^2
+    (1024, 1280, 5120),  # 16^2
+])
+def test_ffn_fused_matches_reference(rng, m, k, inner):
+    from layoutllm_t2i_tpu.ops.pallas.ffn import _ffn_ref, ffn_geglu_fused
+
+    f = lambda s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    x = f((m, k)) * 0.2
+    wa, wg = f((k, inner)) * 0.05, f((k, inner)) * 0.05
+    ba, bg = f(inner) * 0.1, f(inner) * 0.1
+    w2, b2 = f((inner, k)) * 0.05, f(k) * 0.1
+    r = f((m, k))
+    out = ffn_geglu_fused(x, wa, wg, ba, bg, w2, b2, r)
+    ref = _ffn_ref(x, wa, wg, ba, bg, w2, b2, r)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-4)
+
+
+def test_ffn_fused_grads_match_xla(rng):
+    from layoutllm_t2i_tpu.ops.pallas.ffn import _ffn_ref, ffn_geglu_fused
+
+    m, k, inner = 1024, 256, 512
+    f = lambda s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    args = (f((m, k)) * 0.2, f((k, inner)) * 0.05, f((k, inner)) * 0.05,
+            f(inner) * 0.1, f(inner) * 0.1, f((inner, k)) * 0.05,
+            f(k) * 0.1, f((m, k)))
+    gy = f((m, k))
+    g1 = jax.grad(lambda *a: jnp.sum(ffn_geglu_fused(*a) * gy),
+                  argnums=tuple(range(8)))(*args)
+    g2 = jax.grad(lambda *a: jnp.sum(_ffn_ref(*a) * gy),
+                  argnums=tuple(range(8)))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-3, rtol=1e-3)
+
+
+def test_geglu_ff_res_routes_and_matches(rng, monkeypatch):
+    """nn.geglu_ff_res falls back to geglu_ff(...)+r off-TPU but both paths
+    agree numerically (the kernel itself is checked above in interpret)."""
+    from layoutllm_t2i_tpu.ops import nn as nnops
+
+    k, inner, m = 320, 1280, 1024
+    f = lambda s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    p = {"net": {"0": {"proj": {"weight": f((k, 2 * inner)) * 0.05,
+                                "bias": f(2 * inner) * 0.1}},
+                 "2": {"weight": f((inner, k)) * 0.05, "bias": f(k) * 0.1}}}
+    x = f((2, m // 2, k)) * 0.2
+    r = f((2, m // 2, k))
+    out = nnops.geglu_ff_res(p, x, r)
+    ref = nnops.geglu_ff(p, x) + r
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("m,k,inner", [(2048, 320, 1280), (1024, 640, 2560)])
+def test_ffn_ln_fused_matches_reference(rng, m, k, inner):
+    from layoutllm_t2i_tpu.ops.pallas.ffn import _ffn_ln_ref, ffn_ln_geglu_fused
+
+    f = lambda s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    x = f((m, k)) * 0.2
+    wa, wg = f((k, inner)) * 0.05, f((k, inner)) * 0.05
+    ba, bg = f(inner) * 0.1, f(inner) * 0.1
+    w2, b2 = f((inner, k)) * 0.05, f(k) * 0.1
+    gamma, beta = 1.0 + f(k) * 0.1, f(k) * 0.1
+    out = ffn_ln_geglu_fused(x, wa, wg, ba, bg, w2, b2, gamma, beta)
+    ref = _ffn_ln_ref(x, wa, wg, ba, bg, w2, b2, gamma, beta)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-4)
+
+
+def test_ffn_ln_fused_grads_match_xla(rng):
+    from layoutllm_t2i_tpu.ops.pallas.ffn import _ffn_ln_ref, ffn_ln_geglu_fused
+
+    m, k, inner = 1024, 256, 512
+    f = lambda s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    args = (f((m, k)) * 0.2, f((k, inner)) * 0.05, f((k, inner)) * 0.05,
+            f(inner) * 0.1, f(inner) * 0.1, f((inner, k)) * 0.05,
+            f(k) * 0.1, 1.0 + f(k) * 0.1, f(k) * 0.1)
+    gy = f((m, k))
+    g1 = jax.grad(lambda *a: jnp.sum(ffn_ln_geglu_fused(*a) * gy),
+                  argnums=tuple(range(9)))(*args)
+    g2 = jax.grad(lambda *a: jnp.sum(_ffn_ln_ref(*a) * gy),
+                  argnums=tuple(range(9)))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-3, rtol=1e-3)
+
+
+def test_ln_geglu_ff_res_fallback_matches(rng):
+    from layoutllm_t2i_tpu.ops import nn as nnops
+
+    k, inner, m = 320, 1280, 1024
+    f = lambda s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    p_ff = {"net": {"0": {"proj": {"weight": f((k, 2 * inner)) * 0.05,
+                                   "bias": f(2 * inner) * 0.1}},
+                    "2": {"weight": f((inner, k)) * 0.05, "bias": f(k) * 0.1}}}
+    p_n = {"weight": 1.0 + f(k) * 0.1, "bias": f(k) * 0.1}
+    x = f((2, m // 2, k)) * 0.2
+    out = nnops.ln_geglu_ff_res(p_ff, p_n, x)
+    ref = nnops.geglu_ff(p_ff, nnops.layer_norm(p_n, x)) + x
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_ffn_ln_scaled_matches_reference(rng):
+    from layoutllm_t2i_tpu.ops.pallas.ffn import (
+        _ffn_ln_scaled_ref, ffn_ln_geglu_scaled)
+
+    m, k, inner = 1024, 320, 1280
+    f = lambda s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    args = (f((m, k)) * 0.2, f((k, inner)) * 0.05, f((k, inner)) * 0.05,
+            f(inner) * 0.1, f(inner) * 0.1, f((inner, k)) * 0.05,
+            f(k) * 0.1, 1.0 + f(k) * 0.1, f(k) * 0.1)
+    for s in (0.0, 0.37):
+        out = ffn_ln_geglu_scaled(*args, jnp.float32(s))
+        ref = _ffn_ln_scaled_ref(*args, jnp.float32(s))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-4)
