@@ -111,10 +111,14 @@ def _ffn_ln_kernel(x_ref, wa_ref, wg_ref, ba_ref, bg_ref, w2_ref, b2_ref,
 def _blocks(m: int, k: int, n: int):
     """Row/inner block sizes keeping x+acc+gated block+double-buffered weight
     streams within ~10 MB of VMEM; env-overridable for sweeps."""
+    # The standalone UNet sweep tolerated larger blocks (bm=2048 at K=320,
+    # bn=256 at K=1280) but inside the full PLMS scan program the compiler's
+    # stack margins differ and those hit the 16 MB scoped-vmem limit (by
+    # 16.5K and 732.5K respectively); these sizes leave >=1 MB of headroom
     bn_want = int(os.environ.get("LLT2I_FFN_BN", "0")) or \
-        (512 if k <= 640 else 256)
+        (512 if k <= 640 else (256 if k <= 1024 else 128))
     bm_want = int(os.environ.get("LLT2I_FFN_BM", "0")) or \
-        (2048 if k <= 384 else (1024 if k <= 768 else 512))
+        (1024 if k <= 768 else 512)
     return _pick_block(m, bm_want), _pick_block(n, bn_want)
 
 
