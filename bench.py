@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--vae_chunk", type=int, default=8,
                     help="decode the VAE in chunks of this batch size (peak-"
                          "HBM cap; 0 = whole batch at once)")
+    ap.add_argument("--trace", type=str, default=None,
+                    help="after the timed run, capture a jax.profiler trace "
+                         "of one dispatch to this logdir (aggregate with "
+                         "scripts/analyze_trace.py)")
     ap.add_argument("--sharded", action="store_true",
                     help="shard the prompt batch over ALL local devices "
                          "(prompt-DP, params replicated) — the multi-chip "
@@ -145,6 +149,11 @@ def main():
     t0 = time.perf_counter()
     np.asarray(run_all(*args_all, noises_timed))
     dt = time.perf_counter() - t0
+
+    if args.trace:
+        noises_tr = make_noises(99)
+        with jax.profiler.trace(args.trace):
+            np.asarray(run_all(*args_all, noises_tr))
 
     imgs_per_sec = b * args.iters / dt
     print(json.dumps({

@@ -160,7 +160,11 @@ def test_geglu_ff_res_routes_and_matches(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
-@pytest.mark.parametrize("m,k,inner", [(2048, 320, 1280), (1024, 640, 2560)])
+@pytest.mark.parametrize("m,k,inner", [
+    (2048, 320, 1280),
+    (1024, 640, 2560),
+    (1024, 1280, 5120),  # 16^2 site — covers the bn=128 K>=1280 block path
+])
 def test_ffn_ln_fused_matches_reference(rng, m, k, inner):
     from layoutllm_t2i_tpu.ops.pallas.ffn import _ffn_ln_ref, ffn_ln_geglu_fused
 
