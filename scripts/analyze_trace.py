@@ -20,6 +20,8 @@ def bucket_of(name: str) -> str:
     n = name.lower()
     if "_flash" in n or "flash_kernel" in n:
         return "flash attention kernels"
+    if "_ffn" in n or "ffn_ln" in n or "ffn_call" in n:
+        return "pallas ffn kernels"
     if "_gn_" in n or "_ln_" in n or "gn_pallas" in n or "ln_pallas" in n:
         return "pallas norms"
     if "custom-call" in n or "tpu_custom_call" in n:
