@@ -134,6 +134,12 @@ class DiffusionTrainer:
         self.frozen_params = jax.tree.map(
             lambda x: jax.device_put(x, repl), self.frozen_params
         )
+        # commit the frozen VAE/CLIP stacks once too: encode runs every iter
+        # and ckpt-loaded params would otherwise re-transfer per call
+        self.vae_params = jax.tree.map(lambda x: jax.device_put(x, repl),
+                                       self.vae_params)
+        self.clip_params = jax.tree.map(lambda x: jax.device_put(x, repl),
+                                        self.clip_params)
         self._data_sharding = data
         self._train_step = jax.jit(
             make_partitioned_train_step(self.step_cfg),
@@ -143,6 +149,7 @@ class DiffusionTrainer:
         )
         self._encode = jax.jit(self._encode_fn)
         self._encode_pooled = jax.jit(self._encode_pooled_fn)
+        self._preview_pipe = None
         self.rng = jax.random.PRNGKey(config.seed)
 
     # -- model assembly -----------------------------------------------------
@@ -172,13 +179,17 @@ class DiffusionTrainer:
 
     # -- batch encoding ------------------------------------------------------
 
-    def _encode_fn(self, images, input_ids, rng):
-        z = vae_encode(self.vae_params, self.vae_cfg, images, rng=rng, sample=True)
-        context, _ = clip_text_apply(self.clip_params, self.clip_cfg, input_ids)
+    def _encode_fn(self, vae_params, clip_params, images, input_ids, rng):
+        # params ride as jit ARGUMENTS: closing over them bakes ~800MB of
+        # VAE+CLIP weights into the program as constants, which the remote
+        # compiler rejects outright at SD scale (HTTP 413) — invisible at
+        # the toy geometry the CPU tests run
+        z = vae_encode(vae_params, self.vae_cfg, images, rng=rng, sample=True)
+        context, _ = clip_text_apply(clip_params, self.clip_cfg, input_ids)
         return z, context
 
-    def _encode_pooled_fn(self, input_ids):
-        _, pooled = clip_text_apply(self.clip_params, self.clip_cfg, input_ids)
+    def _encode_pooled_fn(self, clip_params, input_ids):
+        _, pooled = clip_text_apply(clip_params, self.clip_cfg, input_ids)
         return pooled
 
     def encode_texts_pooled(self, texts):
@@ -196,7 +207,7 @@ class DiffusionTrainer:
             bucket *= 2
         if bucket != n:
             ids = np.concatenate([ids, np.tile(ids[-1:], (bucket - n, 1))], axis=0)
-        return np.asarray(self._encode_pooled(jnp.asarray(ids)))[:n]
+        return np.asarray(self._encode_pooled(self.clip_params, jnp.asarray(ids)))[:n]
 
     def _grounding_tensors(self, captions, labels_list):
         """Per-box phrase embeddings + relation embeddings (the grounding
@@ -243,7 +254,8 @@ class DiffusionTrainer:
         ids = self.tokenizer(captions)
         images = self._to_global(np.asarray(batch["image"], np.float32))
         ids_g = self._to_global(np.asarray(ids))
-        z, context = self._encode(images, ids_g, rng)
+        z, context = self._encode(self.vae_params, self.clip_params,
+                                  images, ids_g, rng)
         pos, rel = self._grounding_tensors(captions, batch["labels"])
 
         return {
@@ -294,22 +306,38 @@ class DiffusionTrainer:
         return combine_params(
             jax.tree.map(np.asarray, self.state.params), self.frozen_params)
 
+    def _preview_pipeline(self):
+        """Lazily build ONE InferencePipeline for previews so the sampling
+        program compiles once and fresh params ride as jit arguments each
+        preview (an eagerly traced scan closing over SD-scale params is a
+        multi-GB constant blob the remote compiler refuses)."""
+        if self._preview_pipe is None:
+            from ..pipeline.inference import GligenModels, InferencePipeline
+
+            models = GligenModels(
+                unet_cfg=self.unet_cfg, unet_params=None, vae_cfg=self.vae_cfg,
+                vae_params=self.vae_params, clip_cfg=self.clip_cfg,
+                clip_params=self.clip_params, schedule=self.schedule,
+                tokenizer=self.tokenizer, max_relas=self.config.max_relations,
+                compute_dtype=(jnp.bfloat16 if self.config.mixed_precision
+                               else jnp.float32),
+            )
+            self._preview_pipe = InferencePipeline(
+                models, steps=self.config.preview_steps, sampler="plms",
+                guidance_scale=self.config.preview_guidance, alpha_type=None)
+        return self._preview_pipe
+
     def sample_previews(self, host_batch, iter_name: int):
         """PLMS sample grid from the current params on a training batch
         (reference: S=50, guidance 5, no alpha schedule)."""
-        from ..diffusion.samplers import make_step_tables, plms_sample
-        from ..models.vae import decode as vae_decode
-        from ..pipeline.inference import GligenModels, make_cfg_denoiser
         from ..utils.images import save_image_grid
 
-        cfg = self.config
         captions = list(host_batch["caption"])
         b = len(captions)
-        params = self._combined_unet_params()
-        context, _ = clip_text_apply(self.clip_params, self.clip_cfg,
-                                     jnp.asarray(self.tokenizer(captions)))
-        uc, _ = clip_text_apply(self.clip_params, self.clip_cfg,
-                                jnp.asarray(self.tokenizer([""] * b)))
+        pipe = self._preview_pipeline()
+        params = jax.device_put(self._combined_unet_params())
+        context = jnp.asarray(pipe.encode_text(captions))
+        uc = jnp.asarray(pipe.encode_text([""] * b))
         pos, rel = self._grounding_tensors(captions, host_batch["labels"])
         cond = {
             "context": context, "uc_context": uc,
@@ -318,26 +346,12 @@ class DiffusionTrainer:
             "phrase_embeddings": jnp.asarray(pos),
             "relations": jnp.asarray(rel),
         }
-        models = GligenModels(
-            unet_cfg=self.unet_cfg, unet_params=params, vae_cfg=self.vae_cfg,
-            vae_params=self.vae_params, clip_cfg=self.clip_cfg,
-            clip_params=self.clip_params, schedule=self.schedule,
-            tokenizer=self.tokenizer,
-        )
-        tables = make_step_tables(self.schedule, cfg.preview_steps,
-                                  alpha_type=None)
-        denoise_core = make_cfg_denoiser(models, cfg.preview_guidance)
         self.rng, r_noise = jax.random.split(self.rng)
         noise = jax.random.normal(
             r_noise, (b, self.unet_cfg.image_size, self.unet_cfg.image_size,
                       self.unet_cfg.in_channels), jnp.float32)
-
-        def denoise(x, t, fscale, use_sd):
-            return denoise_core(params, None, cond, x, t, fscale, use_sd)
-
-        z = plms_sample(denoise, tables, noise)
-        imgs = vae_decode(self.vae_params, self.vae_cfg, z)
-        imgs = np.asarray(jnp.clip(imgs, -1.0, 1.0)) * 0.5 + 0.5
+        imgs = np.asarray(
+            pipe._sample_jit(params, self.vae_params, None, cond, noise, r_noise))
         out_path = os.path.join(self.run_dir, f"samples_{iter_name:08d}.png")
         save_image_grid(imgs, out_path, captions)
         real = np.asarray(host_batch["image"]) * 0.5 + 0.5
