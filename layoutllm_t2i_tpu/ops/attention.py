@@ -33,6 +33,15 @@ _BLOCK_Q = int(os.environ.get("LLT2I_FLASH_BLOCK_Q", "512"))
 _BLOCK_K = int(os.environ.get("LLT2I_FLASH_BLOCK_K", "512"))
 
 
+def _fused_qkv_enabled() -> bool:
+    # self-attention sites project q/k/v from the SAME activation; a single
+    # stacked dot reads x from HBM once instead of three times (the three
+    # projection dots are bandwidth-bound at the 64² sites: 2 FLOP/byte vs
+    # the ~240 FLOP/byte MXU balance point). Bit-exact: the stacked einsum
+    # contracts d per slice independently, same accumulation order.
+    return os.environ.get("LLT2I_FUSED_QKV", "1") != "0"
+
+
 @functools.lru_cache(None)
 def _on_tpu() -> bool:
     try:
@@ -75,9 +84,14 @@ def attention_with_projections(p, x, key, value, num_heads: int, mask=None,
         wq = p["to_q"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
         wk = p["to_k"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
         wv = p["to_v"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
-        qh = jnp.einsum("bnd,dhc->bhnc", x, wq)
-        kh = jnp.einsum("bmd,dhc->bhmc", key, wk)
-        vh = jnp.einsum("bmd,dhc->bhmc", value, wv)
+        if key is x and value is x and _fused_qkv_enabled():
+            w = jnp.stack([wq, wk, wv], axis=1)  # (d, 3, h, c)
+            qkv = jnp.einsum("bnd,dshc->sbhnc", x, w)
+            qh, kh, vh = qkv[0], qkv[1], qkv[2]
+        else:
+            qh = jnp.einsum("bnd,dhc->bhnc", x, wq)
+            kh = jnp.einsum("bmd,dhc->bhmc", key, wk)
+            vh = jnp.einsum("bmd,dhc->bhmc", value, wv)
         out = flash_attention(qh, kh, vh, scale, _BLOCK_Q, _BLOCK_K)
         po = p["to_out"]["0"]
         wo = po["weight"].astype(x.dtype).reshape(num_heads, c, -1)

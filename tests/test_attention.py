@@ -149,3 +149,26 @@ def test_adaptive_block_k_minimizes_padding(monkeypatch):
     monkeypatch.setenv("LLT2I_FLASH_ADAPTIVE_K", "0")
     mp, bk = prep_mp(4096, 4126)
     assert (mp, bk) == (4608, 512)
+
+
+def test_fused_qkv_projection_bitexact(rng, monkeypatch):
+    """Self-attention sites stack q/k/v weights into ONE projection dot
+    (reads x from HBM once); the stacked einsum must be bit-identical to
+    three separate projections on the flash path."""
+    from layoutllm_t2i_tpu.ops.attention import attention_with_projections
+
+    B, N, H, C, D = 1, 512, 2, 40, 64
+    x = jnp.asarray(rng.standard_normal((B, N, D), dtype=np.float32))
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    p = {
+        "to_q": {"weight": jax.random.normal(ks[0], (D, H * C)) * 0.1},
+        "to_k": {"weight": jax.random.normal(ks[1], (D, H * C)) * 0.1},
+        "to_v": {"weight": jax.random.normal(ks[2], (D, H * C)) * 0.1},
+        "to_out": {"0": {"weight": jax.random.normal(ks[3], (H * C, D)) * 0.1,
+                         "bias": jnp.zeros((D,))}},
+    }
+    monkeypatch.setenv("LLT2I_FUSED_QKV", "1")
+    fused = np.asarray(attention_with_projections(p, x, x, x, H, impl="flash"))
+    monkeypatch.setenv("LLT2I_FUSED_QKV", "0")
+    split = np.asarray(attention_with_projections(p, x, x, x, H, impl="flash"))
+    np.testing.assert_array_equal(fused, split)
