@@ -61,36 +61,41 @@ def init_ff(key, dim, mult: int = 4):
 # gated fusers (attention.py:181-281)
 
 
+def _gate(scale, alpha, dtype):
+    """(scale * tanh(alpha)) computed in f32, cast ONCE to the activation
+    dtype. Both factors must be cast: the scanned fuser_scale is a traced
+    f32 scalar (round-1 bug) and alpha is an f32 checkpoint/master param —
+    either one uncast promotes every activation downstream of the first
+    fuser to f32 (round 2 fixed the scale; the f32-param path surfaced the
+    tanh(alpha) leak when the trainer's preview ran f32 master weights)."""
+    g = jnp.asarray(scale, jnp.float32) * jnp.tanh(alpha.astype(jnp.float32))
+    return g.astype(dtype)
+
+
 def gated_self_attention(p, x, objs, heads: int, scale, impl: str = "auto"):
-    # the scanned fuser_scale arrives as a traced f32 scalar; without the
-    # cast, f32 * bf16 promotes every activation downstream of the first
-    # fuser to f32 (round-1 silently ran most of the UNet in f32)
-    scale = jnp.asarray(scale).astype(x.dtype)
     n_visual = x.shape[1]
     objs = nn.linear(p["linear"], objs)
     cat = jnp.concatenate([x, objs], axis=1)
     attn_out = self_attention(p["attn"], nn.layer_norm(p["norm1"], cat), heads, impl=impl)
     attn_out = attn_out[:, :n_visual, :]
-    x = x + scale * jnp.tanh(p["alpha_attn"]) * attn_out
+    x = x + _gate(scale, p["alpha_attn"], x.dtype) * attn_out
     x = nn.ln_geglu_ff_scaled_res(p["ff"], p["norm2"], x,
-                                  scale * jnp.tanh(p["alpha_dense"]))
+                                  _gate(scale, p["alpha_dense"], x.dtype))
     return x
 
 
 def gated_cross_attention(p, x, objs, heads: int, scale, impl: str = "auto"):
-    scale = jnp.asarray(scale).astype(x.dtype)
-    x = x + scale * jnp.tanh(p["alpha_attn"]) * cross_attention(
+    x = x + _gate(scale, p["alpha_attn"], x.dtype) * cross_attention(
         p["attn"], nn.layer_norm(p["norm1"], x), objs, objs, heads, impl=impl
     )
     x = nn.ln_geglu_ff_scaled_res(p["ff"], p["norm2"], x,
-                                  scale * jnp.tanh(p["alpha_dense"]))
+                                  _gate(scale, p["alpha_dense"], x.dtype))
     return x
 
 
 def gated_self_attention2(p, x, objs, heads: int, scale, impl: str = "auto"):
     """Interpolating variant (attention.py:237-281): grounding-token slice is
     resized to the visual grid with bicubic interpolation and added."""
-    scale = jnp.asarray(scale).astype(x.dtype)
     b, n_visual, _ = x.shape
     n_ground = objs.shape[1]
     size_v = int(round(n_visual ** 0.5))
@@ -103,9 +108,9 @@ def gated_self_attention2(p, x, objs, heads: int, scale, impl: str = "auto"):
     out = out[:, n_visual:, :].reshape(b, size_g, size_g, -1)
     out = jax.image.resize(out, (b, size_v, size_v, out.shape[-1]), method="bicubic")
     residual = out.reshape(b, n_visual, -1)
-    x = x + scale * jnp.tanh(p["alpha_attn"]) * residual
+    x = x + _gate(scale, p["alpha_attn"], x.dtype) * residual
     x = nn.ln_geglu_ff_scaled_res(p["ff"], p["norm2"], x,
-                                  scale * jnp.tanh(p["alpha_dense"]))
+                                  _gate(scale, p["alpha_dense"], x.dtype))
     return x
 
 
@@ -177,7 +182,6 @@ def relation_cross_attention(p, x, relations, boxes, masks, h: int, w: int,
     """
     b, hw, c = x.shape
     mo = boxes.shape[1]
-    scale = jnp.asarray(scale).astype(x.dtype)
     hidden = nn.layer_norm(p["norm3"], x)
 
     region, _ = rasterize_boxes(boxes, masks, h, w)
@@ -188,8 +192,8 @@ def relation_cross_attention(p, x, relations, boxes, masks, h: int, w: int,
     attn_out = cross_attention(
         p["attn"], nn.layer_norm(p["norm1"], obj), relations, relations, heads, impl=impl
     )
-    obj = obj + scale * jnp.tanh(p["alpha_attn"]) * attn_out
-    obj = obj + scale * jnp.tanh(p["alpha_dense"]) * nn.geglu_ff(
+    obj = obj + _gate(scale, p["alpha_attn"], obj.dtype) * attn_out
+    obj = obj + _gate(scale, p["alpha_dense"], obj.dtype) * nn.geglu_ff(
         p["ff"], nn.layer_norm(p["norm2"], obj)
     )
 

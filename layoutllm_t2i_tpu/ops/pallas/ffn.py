@@ -108,7 +108,7 @@ def _ffn_ln_kernel(x_ref, wa_ref, wg_ref, ba_ref, bg_ref, w2_ref, b2_ref,
         o_ref[:] = y.astype(o_ref.dtype) + x_ref[:]
 
 
-def _blocks(m: int, k: int, n: int):
+def _blocks(m: int, k: int, n: int, itemsize: int = 2):
     """Row/inner block sizes keeping x+acc+gated block+double-buffered weight
     streams within ~10 MB of VMEM; env-overridable for sweeps."""
     # The standalone UNet sweep tolerated larger blocks (bm=2048 at K=320,
@@ -119,6 +119,11 @@ def _blocks(m: int, k: int, n: int):
         (512 if k <= 640 else (256 if k <= 1024 else 128))
     bm_want = int(os.environ.get("LLT2I_FFN_BM", "0")) or \
         (1024 if k <= 768 else 512)
+    if itemsize > 2:
+        # f32 activations/weights double the block bytes (the trainer's f32
+        # preview program overflowed scoped vmem by 88.5K at the K=1280 site
+        # with the bf16-sized blocks); halve the row block to compensate
+        bm_want = max(256, bm_want // 2)
     return _pick_block(m, bm_want), _pick_block(n, bn_want)
 
 
@@ -126,7 +131,7 @@ def _blocks(m: int, k: int, n: int):
 def _ffn_call(x, wa, wg, ba, bg, w2, b2, r, interpret: bool):
     m, k = x.shape
     n = wa.shape[1]
-    bm, bn = _blocks(m, k, n)
+    bm, bn = _blocks(m, k, n, x.dtype.itemsize)
     nj = n // bn
     colspec = lambda: pl.BlockSpec((1, bn), lambda i, j: (0, j),
                                    memory_space=pltpu.VMEM)
@@ -166,7 +171,7 @@ def _ffn_ln_call(x, wa, wg, ba, bg, w2, b2, gamma, beta, s, eps: float,
                  interpret: bool):
     m, k = x.shape
     n = wa.shape[1]
-    bm, bn = _blocks(m, k, n)
+    bm, bn = _blocks(m, k, n, x.dtype.itemsize)
     nj = n // bn
     colspec = lambda: pl.BlockSpec((1, bn), lambda i, j: (0, j),
                                    memory_space=pltpu.VMEM)
@@ -208,8 +213,8 @@ def _ffn_ln_call(x, wa, wg, ba, bg, w2, b2, gamma, beta, s, eps: float,
       jnp.asarray(s, jnp.float32).reshape(1, 1))
 
 
-def ffn_eligible(m: int, k: int, n: int) -> bool:
-    bm, bn = _blocks(m, k, n)
+def ffn_eligible(m: int, k: int, n: int, itemsize: int = 2) -> bool:
+    bm, bn = _blocks(m, k, n, itemsize)
     return m >= 1024 and k >= 128 and n >= 256 and m % 8 == 0 \
         and bm >= 256 and bn >= 128
 
