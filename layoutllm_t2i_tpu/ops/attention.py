@@ -35,11 +35,13 @@ _BLOCK_K = int(os.environ.get("LLT2I_FLASH_BLOCK_K", "512"))
 
 def _fused_qkv_enabled() -> bool:
     # self-attention sites project q/k/v from the SAME activation; a single
-    # stacked dot reads x from HBM once instead of three times (the three
-    # projection dots are bandwidth-bound at the 64² sites: 2 FLOP/byte vs
-    # the ~240 FLOP/byte MXU balance point). Bit-exact: the stacked einsum
-    # contracts d per slice independently, same accumulation order.
-    return os.environ.get("LLT2I_FUSED_QKV", "1") != "0"
+    # stacked dot reads x from HBM once instead of three times. Measured
+    # END-TO-END SLOWER on-chip (0.9912 vs 1.0023 img/s): the (d,3,h,c)
+    # einsum's s-major output forces XLA to relayout each qkv[i] slice back
+    # to the flash kernel's (b,h,n,c) layout, costing more than the saved x
+    # re-reads (XLA already CSEs much of the triple read). Default OFF;
+    # kept behind LLT2I_FUSED_QKV=1 for A/B.
+    return os.environ.get("LLT2I_FUSED_QKV", "0") == "1"
 
 
 @functools.lru_cache(None)
