@@ -32,6 +32,15 @@ _FLASH_MIN_Q_LEN = 512
 _BLOCK_Q = int(os.environ.get("LLT2I_FLASH_BLOCK_Q", "512"))
 _BLOCK_K = int(os.environ.get("LLT2I_FLASH_BLOCK_K", "512"))
 
+# Minimum KV length for the flash path. The text cross-attention sites
+# (M=77 CLIP context) are far below the old 128 floor, but XLA's fallback
+# materializes the (B, H, N, 77) f32 score tensor in HBM (161 MB per 64^2
+# site per UNet eval) while the kernel pads KV rows to one masked 128-block
+# and keeps scores VMEM-resident. Default stays 128 until the on-chip A/B
+# lands (interpret-green kernels have been Mosaic-rejected before, PERF.md);
+# sweep with LLT2I_FLASH_MIN_KV=16.
+_FLASH_MIN_KV = int(os.environ.get("LLT2I_FLASH_MIN_KV", "128"))
+
 
 def _fused_qkv_enabled() -> bool:
     # self-attention sites project q/k/v from the SAME activation; a single
@@ -76,7 +85,7 @@ def attention_with_projections(p, x, key, value, num_heads: int, mask=None,
     if impl == "auto":
         use_flash = (
             _on_tpu() and _flash_enabled() and mask is None
-            and n >= _FLASH_MIN_Q_LEN and m >= 128
+            and n >= _FLASH_MIN_Q_LEN and m >= _FLASH_MIN_KV
         )
         impl = "flash" if use_flash else "xla"
 
@@ -128,7 +137,7 @@ def multi_head_attention(q, k, v, num_heads: int, mask=None, impl: str = "auto")
             and _flash_enabled()
             and mask is None
             and n >= _FLASH_MIN_Q_LEN
-            and m >= 128
+            and m >= _FLASH_MIN_KV
         )
         impl = "flash" if use_flash else "xla"
 

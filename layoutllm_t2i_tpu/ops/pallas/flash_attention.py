@@ -219,6 +219,14 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
     mono_bq = block_q
     while mono_bq > 128 and mono_bq * mp * 4 > _WHOLEROW_S_BYTES:
         mono_bq //= 2
+    if os.environ.get("LLT2I_FLASH_MONO_GROW", "0") == "1":
+        # small-KV sites (text cross-attention: Mp=128): GROW the q block
+        # while the score row stays in budget — fewer, fatter programs
+        # amortize per-program grid/DMA overhead when the KV side is tiny.
+        # Mosaic handles the partial tail block when np_ % mono_bq != 0.
+        while (mono_bq * 2 <= np_
+               and mono_bq * 2 * mp * 4 <= _WHOLEROW_S_BYTES):
+            mono_bq *= 2
     use_mono = (
         kv_bytes <= _FULLKV_VMEM_BYTES
         and mono_bq * mp * 4 <= _WHOLEROW_S_BYTES

@@ -52,7 +52,11 @@ def test_mha_key_mask(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-5)
 
 
-@pytest.mark.parametrize("n,m,c", [(512, 512, 40), (512, 542, 64), (600, 600, 160)])
+@pytest.mark.parametrize("n,m,c", [(512, 512, 40), (512, 542, 64), (600, 600, 160),
+                                   # small-KV cross-attention (CLIP context
+                                   # M=77): one masked 128-padded KV block,
+                                   # q-block growth in the mono kernel
+                                   (512, 77, 40)])
 def test_flash_matches_xla(rng, n, m, c):
     B, H = 1, 2
     q = rng.standard_normal((B, H, n, c), dtype=np.float32)
@@ -70,7 +74,7 @@ def test_flash_matches_xla(rng, n, m, c):
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
-@pytest.mark.parametrize("n,m,c", [(256, 256, 40), (300, 280, 64)])
+@pytest.mark.parametrize("n,m,c", [(256, 256, 40), (300, 280, 64), (256, 77, 40)])
 def test_flash_grads_match_xla(rng, n, m, c):
     """Flash backward kernels (recompute-softmax VJP) vs XLA attention grads,
     including padded/ragged sequence lengths."""
