@@ -192,11 +192,15 @@ def _attn_kernel_wholerow(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         lse_ref[0] = _lse_row(m, acc[:, -1:], logf)
 
 
-# keep total VMEM well under the 16MB budget (K+V resident, double-buffered
-# q/out blocks, f32 accumulator)
-_FULLKV_VMEM_BYTES = 4 * 1024 * 1024
+# keep total VMEM well under the scoped-vmem budget (default XLA limit is
+# 16 MB, --xla_tpu_scoped_vmem_limit_kib raises it); env-tunable in MB for
+# sweeps under a raised limit (K+V resident, double-buffered q/out blocks,
+# f32 accumulator)
+_FULLKV_VMEM_BYTES = int(
+    float(os.environ.get("LLT2I_FLASH_FULLKV_MB", "4")) * 1024 * 1024)
 # whole-row variant: f32 scores (block_q x Mp) + bf16 exp'd copy resident
-_WHOLEROW_S_BYTES = 6 * 1024 * 1024
+_WHOLEROW_S_BYTES = int(
+    float(os.environ.get("LLT2I_FLASH_WHOLEROW_MB", "6")) * 1024 * 1024)
 
 
 @functools.partial(
