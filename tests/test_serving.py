@@ -1,0 +1,99 @@
+"""Serving subsystem: micro-batcher coalescing + HTTP endpoints."""
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from layoutllm_t2i_tpu.pipeline.inference import InferencePipeline
+from layoutllm_t2i_tpu.pipeline.loaders import random_models
+from layoutllm_t2i_tpu.serving.batcher import MicroBatcher
+from layoutllm_t2i_tpu.serving.server import GenerationServer
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    models = random_models(seed=0, small=True)
+    return InferencePipeline(models, steps=2, guidance_scale=7.5)
+
+
+def test_batcher_coalesces_concurrent_requests(pipe):
+    b = MicroBatcher(pipe, batch_size=2, max_delay_ms=2000)
+    try:
+        results = {}
+
+        def call(i):
+            results[i] = b.submit(f"prompt {i}", [[0.1, 0.1, 0.6, 0.6]],
+                                  ["thing"], seed=7, timeout=600)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(600)
+        m = b.metrics()
+        assert m["requests"] == 2
+        assert m["batches"] == 1            # coalesced, not per-request
+        assert m["padded_rows"] == 0
+        assert m["latency_p50_ms"] > 0
+        for i in range(2):
+            img = np.asarray(results[i])
+            assert img.ndim == 3 and img.shape[-1] == 3
+        # different prompts in one batch -> different images
+        assert not np.allclose(results[0], results[1])
+    finally:
+        b.close()
+
+
+def test_batcher_pads_short_batches(pipe):
+    b = MicroBatcher(pipe, batch_size=2, max_delay_ms=10)
+    try:
+        img = b.submit("solo", [[0.2, 0.2, 0.7, 0.7]], ["cat"], timeout=600)
+        assert np.asarray(img).shape[-1] == 3
+        m = b.metrics()
+        assert m["batches"] == 1 and m["padded_rows"] == 1
+    finally:
+        b.close()
+
+
+def test_http_server_endpoints(pipe):
+    srv = GenerationServer(pipe, batch_size=2, max_delay_ms=10, port=0,
+                           warmup=True)
+    srv.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=600)
+
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read())["ok"]
+
+        body = json.dumps({
+            "prompt": "a dog in a park",
+            "layout": [{"phrase": "dog", "box": [0.2, 0.4, 0.5, 0.9]}],
+            "relations": ["dog in park"],
+            "seed": 3,
+        })
+        conn.request("POST", "/generate", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        png = r.read()
+        assert r.status == 200
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"   # PNG magic
+
+        conn.request("POST", "/generate", body=json.dumps(
+            {"prompt": "x", "layout": [], "format": "json"}))
+        r = conn.getresponse()
+        assert r.status == 200
+        assert "image_b64" in json.loads(r.read())
+
+        conn.request("POST", "/generate", body=json.dumps({"layout": []}))
+        r = conn.getresponse()
+        assert r.status == 400   # missing prompt
+
+        conn.request("GET", "/metrics")
+        r = conn.getresponse()
+        m = json.loads(r.read())
+        assert m["requests"] >= 3 and m["errors"] == 0
+    finally:
+        srv.shutdown()
