@@ -62,7 +62,12 @@ def _on_tpu() -> bool:
 
 
 def _flash_enabled() -> bool:
-    return os.environ.get("LLT2I_DISABLE_FLASH", "0") != "1"
+    if os.environ.get("LLT2I_DISABLE_FLASH", "0") == "1":
+        return False
+    # TP latency mode: Pallas custom calls don't partition under GSPMD —
+    # route through the XLA path, which the partitioner shards by head
+    from ..parallel.tp import current_tp
+    return current_tp() is None
 
 
 def attention_with_projections(p, x, key, value, num_heads: int, mask=None,
@@ -116,7 +121,12 @@ def attention_with_projections(p, x, key, value, num_heads: int, mask=None,
                                lin(p["to_v"], value), num_heads, mask=mask,
                                impl="xla")
     po = p["to_out"]["0"]
-    return jnp.dot(out, po["weight"].astype(x.dtype)) + po["bias"].astype(x.dtype)
+    # under tp_mode `out` is head-sharded: the output projection contracts
+    # over the sharded h*c dim (row-parallel) — constraining the result
+    # replicated makes the partitioner emit ONE psum here
+    from ..parallel.tp import replicate_out
+    y = replicate_out(jnp.dot(out, po["weight"].astype(x.dtype)))
+    return y + po["bias"].astype(x.dtype)
 
 
 def multi_head_attention(q, k, v, num_heads: int, mask=None, impl: str = "auto"):
@@ -151,15 +161,19 @@ def multi_head_attention(q, k, v, num_heads: int, mask=None, impl: str = "auto")
         return out.transpose(0, 2, 1, 3).reshape(b, n, hc)
 
     # head-split via einsum over the packed layout — XLA folds the head
-    # transposes into the matmuls instead of materializing copies
-    qh = q.reshape(b, n, num_heads, c)
-    kh = k.reshape(b, m, num_heads, c)
-    vh = v.reshape(b, m, num_heads, c)
+    # transposes into the matmuls instead of materializing copies. Under
+    # tp_mode the head-axis constraints make GSPMD partition every einsum
+    # by head (parallel/tp.py).
+    from ..parallel.tp import shard_heads, shard_scores
+
+    qh = shard_heads(q.reshape(b, n, num_heads, c))
+    kh = shard_heads(k.reshape(b, m, num_heads, c))
+    vh = shard_heads(v.reshape(b, m, num_heads, c))
     sim = jnp.einsum("bnhc,bmhc->bhnm", qh, kh, preferred_element_type=jnp.float32)
-    sim = sim * scale
+    sim = shard_scores(sim * scale)
     if mask is not None:
         key_mask = mask.astype(bool)[:, None, None, :]
         sim = jnp.where(key_mask, sim, _NEG_INF)
     attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhnm,bmhc->bnhc", attn, vh)
+    out = shard_heads(jnp.einsum("bhnm,bmhc->bnhc", attn, vh))
     return out.reshape(b, n, hc)

@@ -29,9 +29,12 @@ from jax import lax
 def _fused_norms_enabled() -> bool:
     """Pallas one-pass norm kernels: TPU-only (tests exercise them in
     interpreter mode directly, see tests/test_norm_kernels.py)."""
+    from ..parallel.tp import current_tp
+
     return (
         os.environ.get("LLT2I_DISABLE_FUSED_NORM", "0") != "1"
         and jax.default_backend() == "tpu"
+        and current_tp() is None
     )
 
 
@@ -53,9 +56,12 @@ def _pallas_ffn_enabled() -> bool:
     pallas_call, intermediate VMEM-resident; ops/pallas/ffn.py). Opt-out
     (LLT2I_PALLAS_FFN=0): unlike round 2's generic GEMM experiments this
     removes the (M, 2*inner) HBM round-trip entirely (PERF.md round 3)."""
+    from ..parallel.tp import current_tp
+
     return (
         os.environ.get("LLT2I_PALLAS_FFN", "1") == "1"
         and jax.default_backend() == "tpu"
+        and current_tp() is None
     )
 
 
@@ -180,6 +186,28 @@ def geglu_ff(p, x):
             h = geglu_fused(x.reshape(m, k), wa, wg, ba, bg)
             h = h.reshape(*x.shape[:-1], n2 // 2)
             return linear(p["net"]["2"], h)
+    from ..parallel.tp import current_tp, replicate_out, shard_inner
+
+    if current_tp() is not None:
+        # Megatron column->row pattern, derived by GSPMD: the packed GEGLU
+        # weight is split into its a/gate halves so each half's output can
+        # be constrained on the inner axis (a contiguous shard of the packed
+        # (2*inner) dim would land a and gate on different device subsets);
+        # the down-projection contracts over the sharded inner dim -> psum.
+        w = proj["weight"]
+        inner = w.shape[1] // 2
+        wd = w.astype(x.dtype)
+        a = shard_inner(jnp.dot(x, wd[:, :inner]))
+        gate = shard_inner(jnp.dot(x, wd[:, inner:]))
+        if proj.get("bias") is not None:
+            a = a + proj["bias"][:inner].astype(x.dtype)
+            gate = gate + proj["bias"][inner:].astype(x.dtype)
+        h = a * gelu(gate)
+        out = p["net"]["2"]
+        y = replicate_out(jnp.dot(h, out["weight"].astype(x.dtype)))
+        if out.get("bias") is not None:
+            y = y + out["bias"].astype(x.dtype)
+        return y
     h = linear(proj, x)
     a, gate = jnp.split(h, 2, axis=-1)
     h = a * gelu(gate)
