@@ -164,16 +164,16 @@ def multi_head_attention(q, k, v, num_heads: int, mask=None, impl: str = "auto")
     # transposes into the matmuls instead of materializing copies. Under
     # tp_mode the head-axis constraints make GSPMD partition every einsum
     # by head (parallel/tp.py).
-    from ..parallel.tp import shard_heads, shard_scores
+    from ..parallel.tp import shard_kv, shard_q, shard_scores
 
-    qh = shard_heads(q.reshape(b, n, num_heads, c))
-    kh = shard_heads(k.reshape(b, m, num_heads, c))
-    vh = shard_heads(v.reshape(b, m, num_heads, c))
+    qh = shard_q(q.reshape(b, n, num_heads, c))
+    kh = shard_kv(k.reshape(b, m, num_heads, c))
+    vh = shard_kv(v.reshape(b, m, num_heads, c))
     sim = jnp.einsum("bnhc,bmhc->bhnm", qh, kh, preferred_element_type=jnp.float32)
     sim = shard_scores(sim * scale)
     if mask is not None:
         key_mask = mask.astype(bool)[:, None, None, :]
         sim = jnp.where(key_mask, sim, _NEG_INF)
     attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = shard_heads(jnp.einsum("bhnm,bmhc->bnhc", attn, vh))
+    out = shard_q(jnp.einsum("bhnm,bmhc->bnhc", attn, vh))
     return out.reshape(b, n, hc)

@@ -93,6 +93,11 @@ def conv2d(p, x, stride: int = 1, padding=1):
     stay in the standard layout the attention path needs.
     (LLT2I_CONV1X1_DOT=0 restores the conv lowering for A/B runs.)
     """
+    from ..parallel.tp import shard_rows
+
+    # 'spatial' TP latency mode: image rows sharded over the mesh, halo
+    # exchanges for the 3x3 windows derived by GSPMD (parallel/tp.py)
+    x = shard_rows(x)
     w = p["weight"]
     if (w.shape[0] == 1 and w.shape[1] == 1 and stride == 1 and padding == 0
             and os.environ.get("LLT2I_CONV1X1_DOT", "1") == "1"):

@@ -203,8 +203,7 @@ class InferencePipeline:
         self._sample_jit = jax.jit(self._sample_fn)
         self._sharded_jit = None
         self._sharded_mesh = None
-        self._tp_jit = None
-        self._tp_mesh = None
+        self._tp_jits = {}
 
     # -- text encode ------------------------------------------------------
 
@@ -364,19 +363,23 @@ class InferencePipeline:
 
     # -- tensor-parallel latency sampling ------------------------------------
 
-    def sample_latents_tp(self, mesh, cond, noise, rng=None):
+    def sample_latents_tp(self, mesh, cond, noise, rng=None,
+                          style: str = "spatial"):
         """TP LATENCY mode: params/inputs replicated over the mesh's 'model'
-        axis; GSPMD partitions every attention by head and every GEGLU FF by
-        inner dim from the activation constraints in ops/ (see
-        parallel/tp.py — the reference has no TP counterpart; its only
-        parallelism is DDP, GLIGEN/main.py:59-65). Use for single-image p50,
-        not throughput: generate_sharded (prompt-DP) is communication-free
-        and scales linearly, TP pays one psum per attention/FF block."""
+        axis; GSPMD partitions the per-image compute from the activation
+        constraints in ops/ (see parallel/tp.py — the reference has no TP
+        counterpart; its only parallelism is DDP, GLIGEN/main.py:59-65).
+        style 'spatial' (default) shards image rows/tokens everywhere incl.
+        the convs; 'heads' is the Megatron attention/FF pattern with convs
+        replicated. Use for single-image p50, not throughput:
+        generate_sharded (prompt-DP) is communication-free and scales
+        linearly."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.tp import tp_mode
 
-        if self._tp_jit is None or self._tp_mesh is not mesh:
+        key = (id(mesh), style)
+        if key not in self._tp_jits:
             repl = NamedSharding(mesh, P())
 
             # fresh function identity: jax's trace cache keys on the bound
@@ -385,16 +388,15 @@ class InferencePipeline:
             def _tp_fn(up, vp, sc, cond, noise, rng):
                 return self._sample_fn(up, vp, sc, cond, noise, rng)
 
-            self._tp_jit = jax.jit(_tp_fn, in_shardings=(repl,) * 6,
-                                   out_shardings=repl)
-            self._tp_mesh = mesh
+            self._tp_jits[key] = jax.jit(_tp_fn, in_shardings=(repl,) * 6,
+                                         out_shardings=repl)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         m = self.models
         # tp_mode is trace-time state: it must be live on the FIRST call
         # (which traces); cached dispatches ignore it
-        with tp_mode(mesh):
-            return self._tp_jit(m.unet_params, m.vae_params, m.sd_first_conv,
-                                cond, noise, rng)
+        with tp_mode(mesh, style=style):
+            return self._tp_jits[key](m.unet_params, m.vae_params,
+                                      m.sd_first_conv, cond, noise, rng)
 
     def generate_sharded(self, mesh, prompts: List[str], layouts,
                          relation_texts=None, seed: int = 42, **cond_kwargs) -> np.ndarray:

@@ -29,11 +29,12 @@ def _cond_noise(pipe):
     return cond, noise
 
 
-def test_tp_matches_single_device(pipe):
+@pytest.mark.parametrize("style", ["heads", "spatial"])
+def test_tp_matches_single_device(pipe, style):
     mesh = tp_mesh(8)
     cond, noise = _cond_noise(pipe)
     ref = np.asarray(pipe.sample_latents(cond, noise))
-    tp = np.asarray(pipe.sample_latents_tp(mesh, cond, noise))
+    tp = np.asarray(pipe.sample_latents_tp(mesh, cond, noise, style=style))
     assert tp.shape == ref.shape
     # same math, different partitioning: f32 reduction-order differences only
     np.testing.assert_allclose(tp, ref, atol=2e-4)
@@ -50,7 +51,7 @@ def test_tp_program_is_actually_partitioned(pipe):
         # reused (see sample_latents_tp)
         return pipe._sample_fn(up, vp, sc, cond, noise, rng)
 
-    with tp_mode(mesh):
+    with tp_mode(mesh, style="heads"):
         lowered = jax.jit(fresh).lower(
             pipe.models.unet_params, pipe.models.vae_params,
             pipe.models.sd_first_conv, cond, noise, jax.random.PRNGKey(0))
@@ -58,3 +59,57 @@ def test_tp_program_is_actually_partitioned(pipe):
     assert txt.count("sharding_constraint") > 50  # constraints survived
     compiled = lowered.compile()
     assert "all-reduce" in compiled.as_text()
+
+
+def test_tp_spatial_program_has_gathers_and_halos(pipe):
+    """'spatial' style: self-attention K/V all-gathered, conv halo exchange
+    (collective-permute or all-gather at the 3x3 sites) — the program must
+    contain cross-device movement, and the FF/conv dots stay row-local."""
+    mesh = tp_mesh(8)
+    cond, noise = _cond_noise(pipe)
+
+    def fresh2(up, vp, sc, cond, noise, rng):
+        return pipe._sample_fn(up, vp, sc, cond, noise, rng)
+
+    with tp_mode(mesh, style="spatial"):
+        lowered = jax.jit(fresh2).lower(
+            pipe.models.unet_params, pipe.models.vae_params,
+            pipe.models.sd_first_conv, cond, noise, jax.random.PRNGKey(0))
+    txt = str(lowered.compiler_ir(dialect="stablehlo"))
+    assert txt.count("sharding_constraint") > 50
+    comp = lowered.compile().as_text()
+    assert "all-gather" in comp or "collective-permute" in comp
+
+
+def test_tp_spatial_shards_convs_at_two_rows_per_device(pipe):
+    """At 4 devices the tiny model's H=8 levels shard 2 rows/device, so the
+    conv halo-exchange path (not just attention) is exercised numerically."""
+    mesh = tp_mesh(4)
+    cond, noise = _cond_noise(pipe)
+    ref = np.asarray(pipe.sample_latents(cond, noise))
+    tp = np.asarray(pipe.sample_latents_tp(mesh, cond, noise, style="spatial"))
+    np.testing.assert_allclose(tp, ref, atol=2e-4)
+
+
+def test_strided_conv_one_row_per_shard_is_replicated():
+    """Regression for the SPMD hazard that motivated min_per_shard=2: a
+    stride-2 conv with H == mesh size sharded one row per device computes
+    WRONG values (max abs err ~100 on random inputs when forced); the
+    shard_rows gate must fall back to a replicated constraint there."""
+    from layoutllm_t2i_tpu.ops import nn
+    from layoutllm_t2i_tpu.parallel.tp import tp_mode
+
+    rng = np.random.default_rng(0)
+    mesh = tp_mesh(8)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    p = {"weight": jnp.asarray(
+            rng.standard_normal((3, 3, 16, 16)).astype(np.float32)),
+         "bias": jnp.asarray(rng.standard_normal(16).astype(np.float32))}
+    ref = jax.jit(lambda x: nn.conv2d(p, x, stride=2))(x)
+
+    def f(x):
+        return nn.conv2d(p, x, stride=2)
+
+    with tp_mode(mesh, style="spatial"):
+        out = jax.jit(f)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
