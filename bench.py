@@ -36,6 +36,10 @@ def main():
                     help="after the timed run, capture a jax.profiler trace "
                          "of one dispatch to this logdir (aggregate with "
                          "scripts/analyze_trace.py)")
+    ap.add_argument("--latency", action="store_true",
+                    help="report p50 single-image latency instead of "
+                         "throughput (forces batch 1; BASELINE.md tracks "
+                         "p50 image latency alongside img/s)")
     ap.add_argument("--sharded", action="store_true",
                     help="shard the prompt batch over ALL local devices "
                          "(prompt-DP, params replicated) — the multi-chip "
@@ -86,6 +90,8 @@ def main():
                              guidance_scale=args.guidance, alpha_type=(0.3, 0.0, 0.7),
                              vae_chunk=args.vae_chunk or None)
 
+    if args.latency:
+        args.batch = 1
     b = args.batch
     prompts = ["a dog chasing a frisbee in a park"] * b
     layouts = [([[0.1, 0.3, 0.5, 0.9], [0.55, 0.2, 0.9, 0.5]], ["dog", "frisbee"])] * b
@@ -156,6 +162,14 @@ def main():
             np.asarray(run_all(*args_all, noises_tr))
 
     imgs_per_sec = b * args.iters / dt
+    if args.latency:
+        print(json.dumps({
+            "metric": "image_latency_p50",
+            "value": round(dt / args.iters, 4),
+            "unit": "s/img",
+            "vs_baseline": round(imgs_per_sec / 8.0, 4),
+        }))
+        return
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
         "value": round(imgs_per_sec, 4),
