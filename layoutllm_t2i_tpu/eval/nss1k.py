@@ -78,10 +78,15 @@ def run_bench(
     max_examples: Optional[int] = None,
     planner_fn: Optional[Callable[[List[str]], list]] = None,
     collect_images: bool = False,
+    mesh=None,
 ) -> Dict:
     """One split. ``planner_fn(captions) -> [(categories, boxes_xywh), ...]``
     switches from GT layouts to planned ones (and adds mIoU/DocSim vs GT);
-    ``collect_images`` returns the generated images for FID."""
+    ``collect_images`` returns the generated images for FID; ``mesh``
+    shards each generation batch over the mesh's 'data' axis (prompt-DP,
+    pipeline.generate_sharded) — ragged tail chunks are padded by repeating
+    the last example so the jitted program keeps ONE fixed signature, and
+    the padded rows are sliced off before scoring."""
     from ..pipeline.inference import convert_xywh_to_ltrb
     from ..pipeline.scene_graph import relation_texts_for_inference
     from .clip_score import clip_score
@@ -112,7 +117,16 @@ def run_bench(
         rel = [relation_texts_for_inference(c, pipe.models.max_relas)
                for c in captions]
         t0 = time.perf_counter()
-        imgs = pipe.generate(captions, layouts, relation_texts=rel, seed=seed + i)
+        n_real = len(captions)
+        if mesh is not None:
+            pad = batch_size - n_real
+            imgs = pipe.generate_sharded(
+                mesh, captions + [captions[-1]] * pad,
+                layouts + [layouts[-1]] * pad,
+                relation_texts=rel + [rel[-1]] * pad, seed=seed + i)[:n_real]
+        else:
+            imgs = pipe.generate(captions, layouts, relation_texts=rel,
+                                 seed=seed + i)
         times.append(time.perf_counter() - t0)
         if collect_images:
             imgs_all.append(np.asarray(imgs))
@@ -226,6 +240,10 @@ def main(argv=None):
     ap.add_argument("--clip_ckpt", type=str, default=None,
                     help="full CLIPModel .pth for the scoring towers")
     ap.add_argument("--aesthetic_ckpt", type=str, default=None)
+    ap.add_argument("--sharded", action="store_true",
+                    help="shard each generation batch over ALL devices "
+                         "(prompt-DP; --batch_size must divide the device "
+                         "count times an integer per-chip batch)")
     args = ap.parse_args(argv)
     assert args.data_path or args.data_dir, "need --data_path or --data_dir"
 
@@ -270,9 +288,17 @@ def main(argv=None):
                                    shot_number=args.shot_number)
             return [(cats, boxes) for cats, boxes, _out, _ids in planned]
 
+    mesh = None
+    if args.sharded:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        assert args.batch_size % mesh.devices.size == 0, (
+            f"--batch_size {args.batch_size} must divide over "
+            f"{mesh.devices.size} devices")
     kwargs = dict(batch_size=args.batch_size, seed=args.seed,
                   max_examples=args.max_examples, planner_fn=planner_fn,
-                  collect_images=args.fid)
+                  collect_images=args.fid, mesh=mesh)
     if args.data_dir:
         out = run_all_splits(pipe, reward, args.data_dir, **{
             k: v for k, v in kwargs.items() if k != "collect_images"})

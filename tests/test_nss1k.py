@@ -43,6 +43,28 @@ def test_run_bench(tmp_path):
     assert out["sec_per_image"] > 0
 
 
+def test_run_bench_sharded(tmp_path):
+    """prompt-DP bench path: 3 examples with batch_size 4 over an 8-device
+    mesh — the ragged chunk pads to the fixed signature and the padded row
+    is sliced off before scoring."""
+    from layoutllm_t2i_tpu.parallel.mesh import make_mesh
+
+    data = {"id": [1], "data": [
+        {"img_id": i, "name": f"{i}.jpg", "width": 640, "height": 480,
+         "bbox": [[0.5, 0.5, 0.4, 0.4]], "label": ["dog"],
+         "captions": f"a dog in a park {i}"} for i in range(3)
+    ]}
+    p = tmp_path / "split.json"
+    p.write_text(json.dumps(data))
+    examples = load_split(str(p))
+    pipe = InferencePipeline(random_models(small=True), steps=2, sampler="plms",
+                             guidance_scale=7.5)
+    out = run_bench(pipe, StubScorer(), examples, batch_size=8,
+                    mesh=make_mesh(8))
+    assert out["n"] == 3
+    assert abs(out["clip_score_mean"] - 2.5) < 1e-5
+
+
 def test_run_bench_planner_metrics(tmp_path):
     """Planner mode: per-example layout mIoU/DocSim vs GT are reported."""
     from layoutllm_t2i_tpu.eval.nss1k import run_bench
