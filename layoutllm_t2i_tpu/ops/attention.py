@@ -64,10 +64,46 @@ def _on_tpu() -> bool:
 def _flash_enabled() -> bool:
     if os.environ.get("LLT2I_DISABLE_FLASH", "0") == "1":
         return False
-    # TP latency mode: Pallas custom calls don't partition under GSPMD —
-    # route through the XLA path, which the partitioner shards by head
+    # TP latency mode: Pallas custom calls don't partition under GSPMD.
+    # 'spatial' style keeps the kernel through an explicit shard_map over
+    # the token axis (_tp_spatial_flash); 'heads' routes through the XLA
+    # path, which the partitioner shards by head.
     from ..parallel.tp import current_tp
     return current_tp() is None
+
+
+def _tp_spatial_flash(qh, kh, vh, scale):
+    """flash attention under 'spatial' TP: shard_map over the mesh axis —
+    each device runs the Pallas kernel on ITS q-token rows against the full
+    (replicated) K/V. Non-causal attention rows are independent, so this is
+    exact; K/V for the biggest site is (b=2, h=8, 4126, 40) bf16 ≈ 2.6 MB
+    replicated — negligible. Returns None when the token dim doesn't divide
+    the mesh (caller falls back to the constrained XLA path)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.tp import current_tp
+
+    state = current_tp()
+    if state is None or state[2] != "spatial":
+        return None
+    if not (_on_tpu() or os.environ.get("LLT2I_TP_FLASH_FORCE") == "1"):
+        return None
+    mesh, axis, _ = state
+    ndev = mesh.shape[axis]
+    n = qh.shape[2]
+    if n % ndev != 0 or (n // ndev) % 128 != 0:
+        return None
+    from .pallas.flash_attention import flash_attention
+
+    def local(q, k, v):
+        return flash_attention(q, k, v, scale, _BLOCK_Q, _BLOCK_K)
+
+    spec_q = P(None, None, axis, None)
+    # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no vma
+    # annotation, which the varying-mesh-axes checker rejects otherwise
+    return shard_map(local, mesh=mesh, in_specs=(spec_q, P(), P()),
+                     out_specs=spec_q, check_vma=False)(qh, kh, vh)
 
 
 def attention_with_projections(p, x, key, value, num_heads: int, mask=None,
@@ -93,6 +129,24 @@ def attention_with_projections(p, x, key, value, num_heads: int, mask=None,
             and n >= _FLASH_MIN_Q_LEN and m >= _FLASH_MIN_KV
         )
         impl = "flash" if use_flash else "xla"
+
+    from ..parallel.tp import current_tp
+
+    if (impl == "xla" and mask is None and n >= _FLASH_MIN_Q_LEN
+            and current_tp() is not None):
+        # spatial TP: keep the Pallas kernel via shard_map over token rows
+        wq = p["to_q"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
+        wk = p["to_k"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
+        wv = p["to_v"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
+        qh = jnp.einsum("bnd,dhc->bhnc", x, wq)
+        kh = jnp.einsum("bmd,dhc->bhmc", key, wk)
+        vh = jnp.einsum("bmd,dhc->bhmc", value, wv)
+        out = _tp_spatial_flash(qh, kh, vh, scale)
+        if out is not None:
+            po = p["to_out"]["0"]
+            wo = po["weight"].astype(x.dtype).reshape(num_heads, c, -1)
+            y = jnp.einsum("bhnc,hcd->bnd", out, wo)
+            return y + po["bias"].astype(x.dtype)
 
     if impl == "flash":
         from .pallas.flash_attention import flash_attention

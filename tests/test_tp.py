@@ -113,3 +113,37 @@ def test_strided_conv_one_row_per_shard_is_replicated():
     with tp_mode(mesh, style="spatial"):
         out = jax.jit(f)(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_tp_spatial_keeps_flash_kernel_via_shard_map(monkeypatch):
+    """Under 'spatial' TP the Pallas flash kernel stays in play: shard_map
+    splits q-token rows over the mesh, K/V replicate, each device runs the
+    kernel locally (interpret mode on CPU). Must match the XLA reference."""
+    monkeypatch.setenv("LLT2I_TP_FLASH_FORCE", "1")
+    from layoutllm_t2i_tpu.ops.attention import attention_with_projections
+    from layoutllm_t2i_tpu.parallel.tp import tp_mode
+
+    rng = np.random.default_rng(0)
+    B, N, H, C, D = 1, 1024, 2, 40, 64
+    x = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    p = {
+        "to_q": {"weight": jax.random.normal(ks[0], (D, H * C)) * 0.1},
+        "to_k": {"weight": jax.random.normal(ks[1], (D, H * C)) * 0.1},
+        "to_v": {"weight": jax.random.normal(ks[2], (D, H * C)) * 0.1},
+        "to_out": {"0": {"weight": jax.random.normal(ks[3], (H * C, D)) * 0.1,
+                         "bias": jnp.zeros(D)}},
+    }
+    ref = jax.jit(lambda x: attention_with_projections(p, x, x, x, H,
+                                                       impl="xla"))(x)
+    mesh = tp_mesh(8)
+
+    def f(x):
+        return attention_with_projections(p, x, x, x, H, impl="auto")
+
+    with tp_mode(mesh, style="spatial"):
+        out = jax.jit(f)(x)
+        # and confirm the program actually contains the shard_map'd kernel
+        txt = jax.jit(f).lower(x).compile().as_text()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    assert "all-gather" in txt or "shmap" in txt
