@@ -26,17 +26,24 @@ def main(argv=None):
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--host", type=str, default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8501)
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--max_delay_ms", type=float, default=80.0)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--guidance_scale", type=float, default=7.5)
     ap.add_argument("--no_warmup", action="store_true")
+    ap.add_argument("--tp", action="store_true",
+                    help="tensor-parallel LATENCY mode: shard each image's "
+                         "compute over ALL devices (parallel/tp.py) instead "
+                         "of batching for throughput; implies --batch 1 "
+                         "unless --batch is given explicitly")
     args = ap.parse_args(argv)
 
     from ..pipeline.inference import InferencePipeline
     from ..pipeline.loaders import load_models_from_gligen_ckpt, random_models
     from ..serving.server import GenerationServer
 
+    if args.batch is None:
+        args.batch = 1 if args.tp else 4
     if args.ckpt:
         models = load_models_from_gligen_ckpt(args.ckpt)
     else:
@@ -44,6 +51,21 @@ def main(argv=None):
     steps = args.steps or (8 if args.small else 50)
     pipe = InferencePipeline(models, steps=steps,
                              guidance_scale=args.guidance_scale)
+    if args.tp:
+        from ..parallel.tp import tp_mesh
+
+        mesh = tp_mesh()
+        gen = pipe.generate_tp
+
+        class _TPPipe:
+            models = pipe.models
+
+            @staticmethod
+            def generate(prompts, layouts, relation_texts=None, seed=42):
+                return gen(mesh, prompts, layouts,
+                           relation_texts=relation_texts, seed=seed)
+
+        pipe = _TPPipe()
     srv = GenerationServer(pipe, batch_size=args.batch,
                            max_delay_ms=args.max_delay_ms, host=args.host,
                            port=args.port, warmup=not args.no_warmup)

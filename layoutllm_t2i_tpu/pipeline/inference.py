@@ -412,6 +412,21 @@ class InferencePipeline:
         img = self.sample_latents_sharded(mesh, cond, noise, krun)
         return np.asarray(img)
 
+    def generate_tp(self, mesh, prompts: List[str], layouts,
+                    relation_texts=None, seed: int = 42,
+                    style: str = "spatial", **cond_kwargs) -> np.ndarray:
+        """LATENCY-mode generate: one (small) prompt batch, per-image compute
+        sharded over the mesh (sample_latents_tp)."""
+        m = self.models
+        cond = self.build_cond(prompts, layouts, relation_texts, **cond_kwargs)
+        knoise, krun = jax.random.split(jax.random.PRNGKey(seed))
+        noise = jax.random.normal(
+            knoise, (len(prompts), m.unet_cfg.image_size,
+                     m.unet_cfg.image_size, m.unet_cfg.in_channels),
+            jnp.float32)
+        return np.asarray(self.sample_latents_tp(mesh, cond, noise, krun,
+                                                 style=style))
+
     def generate(self, prompts: List[str], layouts, relation_texts=None, seed: int = 42,
                  **cond_kwargs) -> np.ndarray:
         """Returns (B, 512, 512, 3) float images in [0, 1]."""
