@@ -44,6 +44,9 @@ def parse_args(argv=None):
                    help="also write the reference 4-module .pth at every save")
     p.add_argument("--mixed_precision", action="store_true",
                    help="bf16 compute with f32 master weights")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard Adam moments over the data mesh axis "
+                        "(for --trainable_mode all full finetunes)")
     p.add_argument("--small", action="store_true",
                    help="tiny random models (CPU smoke)")
     return p.parse_args(argv)
@@ -93,6 +96,7 @@ def main(argv=None):
         preview_steps=args.preview_steps,
         export_reference_ckpt=args.export_reference_ckpt,
         mixed_precision=args.mixed_precision,
+        zero1_opt_state=args.zero1,
     )
 
     models = _small_models() if args.small else None

@@ -45,6 +45,34 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def zero1_sharding(mesh: Mesh, tree, axis: str = "data"):
+    """Per-leaf ZeRO-1 shardings: shard each leaf's largest ``axis``-divisible
+    dimension across the mesh, replicate leaves with none.
+
+    Applied to the optimizer state (Adam moments) of a data-parallel train
+    step, this is ZeRO stage 1 the GSPMD way: no gather/scatter code — the
+    shardings alone make XLA reduce-scatter the gradient into the sharded
+    Adam update and all-gather the weight delta, and the f32 moment memory
+    drops by the mesh size. The reference has no equivalent (its only
+    parallelism is DDP with fully replicated Adam state, GLIGEN/main.py:59-65).
+    """
+    n = mesh.shape[axis]
+
+    def leaf_sharding(x):
+        shape = getattr(x, "shape", ())
+        best = None
+        for i, d in enumerate(shape):
+            if d >= n and d % n == 0 and (best is None or d > shape[best]):
+                best = i
+        if best is None:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(shape)
+        spec[best] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(leaf_sharding, tree)
+
+
 def is_primary() -> bool:
     return jax.process_index() == 0
 

@@ -31,7 +31,9 @@ from ..models.clip_tokenizer import default_tokenizer
 from ..models.unet import UNetConfig, init_unet_params
 from ..models.vae import VAEConfig, encode as vae_encode, init_vae_params
 from ..ops.schedules import DDPMSchedule, make_ddpm_schedule
-from ..parallel.mesh import batch_sharding, is_primary, make_mesh, replicated
+from ..parallel.mesh import (
+    batch_sharding, is_primary, make_mesh, replicated, zero1_sharding,
+)
 from ..pipeline.scene_graph import relation_texts_for_training
 from ..utils.logging import Logger, MetricsWriter, maybe_tensorboard
 from .train_step import (
@@ -68,6 +70,12 @@ class TrainerConfig:
     export_reference_ckpt: bool = False
     # bf16 compute / f32 master weights in the train step (reference is fp32)
     mixed_precision: bool = False
+    # ZeRO-1: shard the Adam moments over the data axis (parallel/mesh.py
+    # zero1_sharding). Matters for trainable_mode='all' full finetunes, where
+    # replicated f32 moments are ~10 GB/chip; partial finetunes carry tiny
+    # moment trees and gain nothing. Single-host scope (the initial
+    # device_put of a sharded state assumes all shards are addressable).
+    zero1_opt_state: bool = False
     num_devices: Optional[int] = None
 
 
@@ -130,7 +138,18 @@ class DiffusionTrainer:
 
         repl = replicated(self.mesh)
         data = batch_sharding(self.mesh)
-        self.state = jax.tree.map(lambda x: jax.device_put(x, repl), self.state)
+        if config.zero1_opt_state:
+            state_sh = TrainState(
+                params=jax.tree.map(lambda _: repl, self.state.params),
+                opt_state=zero1_sharding(self.mesh, self.state.opt_state),
+                step=repl,
+                ema_params=(zero1_sharding(self.mesh, self.state.ema_params)
+                            if self.state.ema_params is not None else None),
+            )
+        else:
+            state_sh = jax.tree.map(lambda _: repl, self.state)
+        self._state_shardings = state_sh
+        self.state = jax.tree.map(jax.device_put, self.state, state_sh)
         self.frozen_params = jax.tree.map(
             lambda x: jax.device_put(x, repl), self.frozen_params
         )
@@ -143,8 +162,8 @@ class DiffusionTrainer:
         self._data_sharding = data
         self._train_step = jax.jit(
             make_partitioned_train_step(self.step_cfg),
-            in_shardings=(repl, repl, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, repl, data, repl),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0,),
         )
         self._encode = jax.jit(self._encode_fn)
