@@ -79,11 +79,14 @@ def export_gligen_checkpoint(
     schedule: DDPMSchedule,
     config_dict: Dict[str, Any],
     iters: int = 0,
+    ema_unet_params=None,
 ) -> None:
     """Write the reference 4-module dict ckpt. The text encoder keys restore
     the ``transformer.text_model.`` prefix (FrozenCLIPEmbedder wraps the HF
     CLIPTextModel as ``self.transformer``, encoders/modules.py:144-160) plus
-    the position_ids buffer the converter drops."""
+    the position_ids buffer the converter drops. ``ema_unet_params`` adds the
+    reference trainer's optional ``ema`` entry
+    (trainer_combined_layout.py:533-534)."""
     import torch
 
     text_sd = tree_to_state_dict(clip_params, prefix="transformer.text_model.")
@@ -99,4 +102,6 @@ def export_gligen_checkpoint(
         "iters": int(iters),
         "config_dict": config_dict,
     }
+    if ema_unet_params is not None:
+        ckpt["ema"] = tree_to_state_dict(ema_unet_params)
     torch.save(ckpt, path)

@@ -70,6 +70,12 @@ class TrainerConfig:
     export_reference_ckpt: bool = False
     # bf16 compute / f32 master weights in the train step (reference is fp32)
     mixed_precision: bool = False
+    # EMA of the trainable params (reference enable_ema/ema_rate,
+    # trainer_combined_layout.py:266-270,438-439; off by default there too).
+    # The EMA tree is saved in the native checkpoint and as the reference
+    # trainer's optional "ema" entry in exported .pth files (:533-534).
+    enable_ema: bool = False
+    ema_rate: float = 0.9999
     # ZeRO-1: shard the Adam moments over the data axis (parallel/mesh.py
     # zero1_sharding). Matters for trainable_mode='all' full finetunes, where
     # replicated f32 moments are ~10 GB/chip; partial finetunes carry tiny
@@ -122,6 +128,7 @@ class DiffusionTrainer:
             total_steps=config.total_iters,
             lr_schedule=config.scheduler_type,
             mixed_precision=config.mixed_precision,
+            ema_rate=config.ema_rate if config.enable_ema else None,
         )
         # partitioned state: only the trainable subtree (rela_fuse / fuser+
         # position_net) lives in the donated optimizer state; the frozen bulk
@@ -135,6 +142,11 @@ class DiffusionTrainer:
             self.state = TrainState(*loaded["state"]) if isinstance(loaded, dict) else loaded
             self.starting_iter = int(self.state.step)
             self.logger.write(f"auto-resumed from {resume_ckpt} at iter {self.starting_iter}")
+            # EMA newly enabled against a pre-EMA checkpoint: seed from params
+            if self.step_cfg.ema_rate is not None and self.state.ema_params is None:
+                self.state = self.state._replace(
+                    params=self.state.params,
+                    ema_params=jax.tree.map(lambda x: x, self.state.params))
 
         repl = replicated(self.mesh)
         data = batch_sharding(self.mesh)
@@ -389,10 +401,18 @@ class DiffusionTrainer:
             from ..checkpoint.export import export_gligen_checkpoint
 
             pth = os.path.join(self.run_dir, f"checkpoint_{iter_name:08d}.pth")
+            ema_combined = None
+            if self.state.ema_params is not None:
+                from .train_step import combine_params
+
+                ema_combined = combine_params(
+                    jax.tree.map(np.asarray, self.state.ema_params),
+                    self.frozen_params)
             export_gligen_checkpoint(
                 pth, self._combined_unet_params(),
                 jax.tree.map(np.asarray, self.vae_params),
                 jax.tree.map(np.asarray, self.clip_params),
-                self.schedule, cfg_dict, iters=iter_name)
+                self.schedule, cfg_dict, iters=iter_name,
+                ema_unet_params=ema_combined)
             self.logger.write(f"exported reference-format ckpt to {pth}")
         self.logger.write(f"saved checkpoint to {path}")

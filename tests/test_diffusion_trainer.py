@@ -70,6 +70,39 @@ def test_pooled_encode_bucketing_keeps_jit_cache_constant(tmp_path):
     np.testing.assert_allclose(outs[5], outs[7][:5], atol=1e-5)
 
 
+def test_trainer_ema_tracks_and_exports(tmp_path):
+    """enable_ema keeps an EMA of the trainable subtree (reference
+    trainer_combined_layout.py:266-270,438-439) and the exported .pth carries
+    the reference trainer's 'ema' entry (:533-534)."""
+    cfg = TrainerConfig(output_root=str(tmp_path), name="e", batch_size=2,
+                        total_iters=3, save_every_iters=2, log_every=1,
+                        warmup_steps=1, max_boxes=30, max_relations=5,
+                        enable_ema=True, ema_rate=0.5,
+                        export_reference_ckpt=True)
+    data = synthetic_layout_batches(cfg.batch_size, image_size=16, max_boxes=30)
+    tr = DiffusionTrainer(cfg, data, models=tiny_models())
+    tr.train()
+
+    assert tr.state.ema_params is not None
+    # after 3 updates at rate 0.5 the EMA lags the live params
+    p = jax.tree.leaves(tr.state.params)
+    e = jax.tree.leaves(tr.state.ema_params)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(p, e)]
+    assert max(diffs) > 0, "EMA never diverged from the live params"
+
+    import torch
+
+    ckpt = torch.load(os.path.join(tr.run_dir, "checkpoint_00000003.pth"),
+                      map_location="cpu", weights_only=False)
+    assert "ema" in ckpt
+    assert set(ckpt["ema"].keys()) == set(ckpt["model"].keys())
+
+    # resume keeps the EMA tree
+    tr2 = DiffusionTrainer(cfg, data, models=tiny_models())
+    assert tr2.starting_iter >= 2 and tr2.state.ema_params is not None
+
+
 def test_trainer_previews_and_pth_export(tmp_path):
     """Periodic PLMS preview grid + reference-format .pth export with an exact
     round-trip through the reference loader (VERDICT r1 item 5)."""
