@@ -44,6 +44,9 @@ def parse_args(argv=None):
                    help="also write the reference 4-module .pth at every save")
     p.add_argument("--mixed_precision", action="store_true",
                    help="bf16 compute with f32 master weights")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation microbatches per step "
+                        "(batch_size is the effective batch)")
     p.add_argument("--enable_ema", action="store_true",
                    help="EMA of trainable params (reference enable_ema)")
     p.add_argument("--ema_rate", type=float, default=0.9999)
@@ -100,6 +103,7 @@ def main(argv=None):
         export_reference_ckpt=args.export_reference_ckpt,
         mixed_precision=args.mixed_precision,
         enable_ema=args.enable_ema, ema_rate=args.ema_rate,
+        accum_steps=args.accum_steps,
         zero1_opt_state=args.zero1,
     )
 

@@ -76,6 +76,10 @@ class TrainerConfig:
     # trainer's optional "ema" entry in exported .pth files (:533-534).
     enable_ema: bool = False
     ema_rate: float = 0.9999
+    # gradient accumulation: scan accum_steps microbatches inside the jitted
+    # step, one optimizer/EMA update (train_step.py). batch_size is the
+    # EFFECTIVE batch; peak activation memory follows batch_size/accum_steps.
+    accum_steps: int = 1
     # ZeRO-1: shard the Adam moments over the data axis (parallel/mesh.py
     # zero1_sharding). Matters for trainable_mode='all' full finetunes, where
     # replicated f32 moments are ~10 GB/chip; partial finetunes carry tiny
@@ -129,7 +133,12 @@ class DiffusionTrainer:
             lr_schedule=config.scheduler_type,
             mixed_precision=config.mixed_precision,
             ema_rate=config.ema_rate if config.enable_ema else None,
+            accum_steps=config.accum_steps,
         )
+        if config.batch_size % config.accum_steps != 0:
+            raise ValueError(
+                f"batch_size {config.batch_size} must divide into "
+                f"accum_steps {config.accum_steps} microbatches")
         # partitioned state: only the trainable subtree (rela_fuse / fuser+
         # position_net) lives in the donated optimizer state; the frozen bulk
         # of the UNet is a read-only input
