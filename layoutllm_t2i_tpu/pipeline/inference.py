@@ -428,16 +428,28 @@ class InferencePipeline:
                                                  style=style))
 
     def generate(self, prompts: List[str], layouts, relation_texts=None, seed: int = 42,
-                 **cond_kwargs) -> np.ndarray:
-        """Returns (B, 512, 512, 3) float images in [0, 1]."""
+                 seeds: Optional[List[int]] = None, **cond_kwargs) -> np.ndarray:
+        """Returns (B, 512, 512, 3) float images in [0, 1].
+
+        ``seeds`` (one per prompt) makes each row's noise a function of ITS
+        seed alone, so a request reproduces identically regardless of how a
+        serving batch was composed (serving/batcher.py). Default: one batch
+        draw from ``seed``."""
         b = len(prompts)
         m = self.models
         cond = self.build_cond(prompts, layouts, relation_texts, **cond_kwargs)
-        key = jax.random.PRNGKey(seed)
-        knoise, krun = jax.random.split(key)
-        noise = jax.random.normal(
-            knoise, (b, m.unet_cfg.image_size, m.unet_cfg.image_size,
-                     m.unet_cfg.in_channels), jnp.float32)
+        shape = (m.unet_cfg.image_size, m.unet_cfg.image_size,
+                 m.unet_cfg.in_channels)
+        if seeds is not None:
+            if len(seeds) != b:
+                raise ValueError(f"seeds: want {b} entries, got {len(seeds)}")
+            keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, shape, jnp.float32))(keys)
+            krun = jax.random.PRNGKey(int(seeds[0]))
+        else:
+            knoise, krun = jax.random.split(jax.random.PRNGKey(seed))
+            noise = jax.random.normal(knoise, (b,) + shape, jnp.float32)
         img = self.sample_latents(cond, noise, krun)
         return np.asarray(img)
 

@@ -107,7 +107,7 @@ class MicroBatcher:
                     [r.layout for r in rows],
                     relation_texts=([r.relations or [] for r in rows]
                                     if any(r.relations for r in rows) else None),
-                    seed=rows[0].seed,
+                    seeds=[r.seed for r in rows],
                 )
                 now = time.monotonic()
                 with self._lock:

@@ -46,6 +46,39 @@ def test_batcher_coalesces_concurrent_requests(pipe):
         b.close()
 
 
+def test_per_request_seed_reproducible_across_batch_compositions(pipe):
+    """A request's image is a function of ITS seed, not of how the batch was
+    composed: solo (padded) vs coalesced with a stranger must match."""
+    box, phrase = [[0.2, 0.2, 0.7, 0.7]], ["cat"]
+
+    b1 = MicroBatcher(pipe, batch_size=2, max_delay_ms=10)
+    try:
+        solo = np.asarray(b1.submit("a cat", box, phrase, seed=5, timeout=600))
+    finally:
+        b1.close()
+
+    b2 = MicroBatcher(pipe, batch_size=2, max_delay_ms=2000)
+    try:
+        results = {}
+
+        def call(name, prompt, seed):
+            results[name] = b2.submit(prompt, box, phrase, seed=seed,
+                                      timeout=600)
+
+        threads = [threading.Thread(target=call, args=("mine", "a cat", 5)),
+                   threading.Thread(target=call, args=("other", "a dog", 9))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(600)
+        assert b2.metrics()["batches"] == 1
+    finally:
+        b2.close()
+
+    np.testing.assert_allclose(solo, np.asarray(results["mine"]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_batcher_pads_short_batches(pipe):
     b = MicroBatcher(pipe, batch_size=2, max_delay_ms=10)
     try:
