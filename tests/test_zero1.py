@@ -68,3 +68,23 @@ def test_zero1_trainer_matches_replicated_and_shards_moments(tmp_path):
                     jax.tree.leaves(tr_z1.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_zero1_composes_with_grad_accumulation(tmp_path):
+    """zero1 (sharded Adam state) and accum_steps (scanned microbatches) are
+    orthogonal and must compose in one jitted step."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    cfg = TrainerConfig(output_root=str(tmp_path), name="z1acc", batch_size=16,
+                        total_iters=2, save_every_iters=100, log_every=1,
+                        warmup_steps=1, max_boxes=30, max_relations=5,
+                        trainable_mode="all", zero1_opt_state=True,
+                        accum_steps=2, seed=7)
+    data = synthetic_layout_batches(cfg.batch_size, image_size=16, max_boxes=30)
+    tr = DiffusionTrainer(cfg, data, models=tiny_models())
+    tr.train()
+    assert int(tr.state.step) == 2
+    sharded = [l for l in jax.tree.leaves(tr.state.opt_state)
+               if hasattr(l, "sharding") and l.ndim >= 1
+               and not l.sharding.is_fully_replicated]
+    assert sharded
