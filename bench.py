@@ -163,8 +163,16 @@ def main():
 
     imgs_per_sec = b * args.iters / dt
     if args.latency:
+        # steady-state DEVICE latency (batch=1, iterations scanned in one
+        # dispatch): a mean, not a percentile — per-iteration samples don't
+        # exist inside a scan, and per-dispatch host timings here would
+        # measure the axon tunnel (~2 s/call), not the framework. The true
+        # serving p50/p99 (incl. dispatch) is what cli.serve /metrics
+        # reports. vs_baseline is the throughput-equivalent ratio against
+        # the 8 img/s target (monotone; no latency baseline exists,
+        # BASELINE.md).
         print(json.dumps({
-            "metric": "image_latency_p50",
+            "metric": "image_latency_steady_state_mean",
             "value": round(dt / args.iters, 4),
             "unit": "s/img",
             "vs_baseline": round(imgs_per_sec / 8.0, 4),

@@ -20,6 +20,23 @@ from __future__ import annotations
 import argparse
 
 
+class TPPipeAdapter:
+    """Presents generate_tp under MicroBatcher's generate() contract
+    (incl. per-request seeds) with the mesh/style bound."""
+
+    def __init__(self, pipe, mesh, style: str = "spatial"):
+        self._pipe = pipe
+        self._mesh = mesh
+        self._style = style
+        self.models = pipe.models
+
+    def generate(self, prompts, layouts, relation_texts=None, seed=42,
+                 seeds=None, **cond_kwargs):
+        return self._pipe.generate_tp(
+            self._mesh, prompts, layouts, relation_texts=relation_texts,
+            seed=seed, seeds=seeds, style=self._style, **cond_kwargs)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", type=str, default=None)
@@ -54,18 +71,7 @@ def main(argv=None):
     if args.tp:
         from ..parallel.tp import tp_mesh
 
-        mesh = tp_mesh()
-        gen = pipe.generate_tp
-
-        class _TPPipe:
-            models = pipe.models
-
-            @staticmethod
-            def generate(prompts, layouts, relation_texts=None, seed=42):
-                return gen(mesh, prompts, layouts,
-                           relation_texts=relation_texts, seed=seed)
-
-        pipe = _TPPipe()
+        pipe = TPPipeAdapter(pipe, tp_mesh())
     srv = GenerationServer(pipe, batch_size=args.batch,
                            max_delay_ms=args.max_delay_ms, host=args.host,
                            port=args.port, warmup=not args.no_warmup)

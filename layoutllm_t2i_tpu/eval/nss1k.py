@@ -310,7 +310,11 @@ def main(argv=None):
             gen = out.pop("images")
             n = len(gen)
             gt = load_gt_images(examples[:n], args.img_dir, size=gen.shape[1])
-            out.update(compute_fid(gen, gt, args.inception_ckpt, reward))
+            # only hand the reward model to FID when its CLIP vision weights
+            # are real — a random-weight reward (no --clip_ckpt) would feed
+            # the same meaningless features the ValueError below refuses
+            fid_reward = reward if args.clip_ckpt else None
+            out.update(compute_fid(gen, gt, args.inception_ckpt, fid_reward))
         out.pop("images", None)
     print(json.dumps(out))
 

@@ -72,28 +72,34 @@ def _flash_enabled() -> bool:
     return current_tp() is None
 
 
+def _tp_spatial_flash_eligible(n: int) -> bool:
+    """True when the spatial-TP flash route applies: tracing under
+    tp_mode('spatial'), on TPU (or forced), and n q-token rows split over the
+    mesh into 128-multiples (the kernel's sublane rule)."""
+    from ..parallel.tp import current_tp
+
+    state = current_tp()
+    if state is None or state[2] != "spatial":
+        return False
+    if not (_on_tpu() or os.environ.get("LLT2I_TP_FLASH_FORCE") == "1"):
+        return False
+    mesh, axis, _ = state
+    ndev = mesh.shape[axis]
+    return n % ndev == 0 and (n // ndev) % 128 == 0
+
+
 def _tp_spatial_flash(qh, kh, vh, scale):
     """flash attention under 'spatial' TP: shard_map over the mesh axis —
     each device runs the Pallas kernel on ITS q-token rows against the full
     (replicated) K/V. Non-causal attention rows are independent, so this is
     exact; K/V for the biggest site is (b=2, h=8, 4126, 40) bf16 ≈ 2.6 MB
-    replicated — negligible. Returns None when the token dim doesn't divide
-    the mesh (caller falls back to the constrained XLA path)."""
+    replicated — negligible. Caller gates on _tp_spatial_flash_eligible."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.tp import current_tp
 
-    state = current_tp()
-    if state is None or state[2] != "spatial":
-        return None
-    if not (_on_tpu() or os.environ.get("LLT2I_TP_FLASH_FORCE") == "1"):
-        return None
-    mesh, axis, _ = state
-    ndev = mesh.shape[axis]
-    n = qh.shape[2]
-    if n % ndev != 0 or (n // ndev) % 128 != 0:
-        return None
+    mesh, axis, _ = current_tp()
     from .pallas.flash_attention import flash_attention
 
     def local(q, k, v):
@@ -130,43 +136,37 @@ def attention_with_projections(p, x, key, value, num_heads: int, mask=None,
         )
         impl = "flash" if use_flash else "xla"
 
-    from ..parallel.tp import current_tp
-
-    if (impl == "xla" and mask is None and n >= _FLASH_MIN_Q_LEN
-            and current_tp() is not None):
-        # spatial TP: keep the Pallas kernel via shard_map over token rows
-        wq = p["to_q"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
-        wk = p["to_k"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
-        wv = p["to_v"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
-        qh = jnp.einsum("bnd,dhc->bhnc", x, wq)
-        kh = jnp.einsum("bmd,dhc->bhmc", key, wk)
-        vh = jnp.einsum("bmd,dhc->bhmc", value, wv)
-        out = _tp_spatial_flash(qh, kh, vh, scale)
-        if out is not None:
-            po = p["to_out"]["0"]
-            wo = po["weight"].astype(x.dtype).reshape(num_heads, c, -1)
-            y = jnp.einsum("bhnc,hcd->bnd", out, wo)
-            return y + po["bias"].astype(x.dtype)
-
-    if impl == "flash":
-        from .pallas.flash_attention import flash_attention
-
+    def project_heads():
         wq = p["to_q"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
         wk = p["to_k"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
         wv = p["to_v"]["weight"].astype(x.dtype).reshape(-1, num_heads, c)
         if key is x and value is x and _fused_qkv_enabled():
             w = jnp.stack([wq, wk, wv], axis=1)  # (d, 3, h, c)
             qkv = jnp.einsum("bnd,dshc->sbhnc", x, w)
-            qh, kh, vh = qkv[0], qkv[1], qkv[2]
-        else:
-            qh = jnp.einsum("bnd,dhc->bhnc", x, wq)
-            kh = jnp.einsum("bmd,dhc->bhmc", key, wk)
-            vh = jnp.einsum("bmd,dhc->bhmc", value, wv)
-        out = flash_attention(qh, kh, vh, scale, _BLOCK_Q, _BLOCK_K)
+            return qkv[0], qkv[1], qkv[2]
+        qh = jnp.einsum("bnd,dhc->bhnc", x, wq)
+        kh = jnp.einsum("bmd,dhc->bhmc", key, wk)
+        vh = jnp.einsum("bmd,dhc->bhmc", value, wv)
+        return qh, kh, vh
+
+    def project_out(out):
         po = p["to_out"]["0"]
         wo = po["weight"].astype(x.dtype).reshape(num_heads, c, -1)
         y = jnp.einsum("bhnc,hcd->bnd", out, wo)
         return y + po["bias"].astype(x.dtype)
+
+    if (impl == "xla" and mask is None and n >= _FLASH_MIN_Q_LEN
+            and _tp_spatial_flash_eligible(n)):
+        # spatial TP: keep the Pallas kernel via shard_map over token rows
+        qh, kh, vh = project_heads()
+        return project_out(_tp_spatial_flash(qh, kh, vh, scale))
+
+    if impl == "flash":
+        from .pallas.flash_attention import flash_attention
+
+        qh, kh, vh = project_heads()
+        return project_out(flash_attention(qh, kh, vh, scale,
+                                           _BLOCK_Q, _BLOCK_K))
 
     def lin(pp, t):
         return jnp.dot(t, pp["weight"].astype(t.dtype))

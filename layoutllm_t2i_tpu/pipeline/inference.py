@@ -213,14 +213,11 @@ class InferencePipeline:
     def _encode_bucketed(self, texts: List[str]):
         """Tokenize and encode with the batch padded to a power-of-two bucket
         so ragged phrase counts don't retrigger compilation."""
+        from ..utils.buckets import pad_rows_pow2
+
         ids = self.models.tokenizer(texts)
         n = ids.shape[0]
-        bucket = 1
-        while bucket < n:
-            bucket *= 2
-        if bucket != n:
-            pad = np.tile(ids[-1:], (bucket - n, 1))
-            ids = np.concatenate([ids, pad], axis=0)
+        ids = pad_rows_pow2(ids)
         hidden, pooled = self._encode_jit(self.models.clip_params, jnp.asarray(ids))
         return hidden[:n], pooled[:n]
 
@@ -378,7 +375,10 @@ class InferencePipeline:
 
         from ..parallel.tp import tp_mode
 
-        key = (id(mesh), style)
+        # Mesh hashes by device grid + axis names: equal meshes share the
+        # compiled program, and a GC'd mesh's recycled id() can't alias a
+        # different topology
+        key = (mesh, style)
         if key not in self._tp_jits:
             repl = NamedSharding(mesh, P())
 
@@ -412,32 +412,15 @@ class InferencePipeline:
         img = self.sample_latents_sharded(mesh, cond, noise, krun)
         return np.asarray(img)
 
-    def generate_tp(self, mesh, prompts: List[str], layouts,
-                    relation_texts=None, seed: int = 42,
-                    style: str = "spatial", **cond_kwargs) -> np.ndarray:
-        """LATENCY-mode generate: one (small) prompt batch, per-image compute
-        sharded over the mesh (sample_latents_tp)."""
+    def _batch_noise(self, b: int, seed: int, seeds: Optional[List[int]]):
+        """(noise (b,h,w,c), krun). With per-row ``seeds``, each row's noise is
+        a function of ITS seed alone, so a request reproduces identically
+        regardless of how a serving batch was composed (serving/batcher.py).
+        NOTE: that contract holds for the deterministic samplers (PLMS,
+        DDIM eta=0 — the production configs); an eta>0 DDIM additionally
+        draws per-step batch-wide noise from krun, which depends on row
+        order. Default: one batch draw from ``seed``."""
         m = self.models
-        cond = self.build_cond(prompts, layouts, relation_texts, **cond_kwargs)
-        knoise, krun = jax.random.split(jax.random.PRNGKey(seed))
-        noise = jax.random.normal(
-            knoise, (len(prompts), m.unet_cfg.image_size,
-                     m.unet_cfg.image_size, m.unet_cfg.in_channels),
-            jnp.float32)
-        return np.asarray(self.sample_latents_tp(mesh, cond, noise, krun,
-                                                 style=style))
-
-    def generate(self, prompts: List[str], layouts, relation_texts=None, seed: int = 42,
-                 seeds: Optional[List[int]] = None, **cond_kwargs) -> np.ndarray:
-        """Returns (B, 512, 512, 3) float images in [0, 1].
-
-        ``seeds`` (one per prompt) makes each row's noise a function of ITS
-        seed alone, so a request reproduces identically regardless of how a
-        serving batch was composed (serving/batcher.py). Default: one batch
-        draw from ``seed``."""
-        b = len(prompts)
-        m = self.models
-        cond = self.build_cond(prompts, layouts, relation_texts, **cond_kwargs)
         shape = (m.unet_cfg.image_size, m.unet_cfg.image_size,
                  m.unet_cfg.in_channels)
         if seeds is not None:
@@ -450,6 +433,25 @@ class InferencePipeline:
         else:
             knoise, krun = jax.random.split(jax.random.PRNGKey(seed))
             noise = jax.random.normal(knoise, (b,) + shape, jnp.float32)
+        return noise, krun
+
+    def generate_tp(self, mesh, prompts: List[str], layouts,
+                    relation_texts=None, seed: int = 42,
+                    seeds: Optional[List[int]] = None,
+                    style: str = "spatial", **cond_kwargs) -> np.ndarray:
+        """LATENCY-mode generate: one (small) prompt batch, per-image compute
+        sharded over the mesh (sample_latents_tp)."""
+        cond = self.build_cond(prompts, layouts, relation_texts, **cond_kwargs)
+        noise, krun = self._batch_noise(len(prompts), seed, seeds)
+        return np.asarray(self.sample_latents_tp(mesh, cond, noise, krun,
+                                                 style=style))
+
+    def generate(self, prompts: List[str], layouts, relation_texts=None, seed: int = 42,
+                 seeds: Optional[List[int]] = None, **cond_kwargs) -> np.ndarray:
+        """Returns (B, 512, 512, 3) float images in [0, 1]. ``seeds``: see
+        _batch_noise (per-request reproducibility for serving batches)."""
+        cond = self.build_cond(prompts, layouts, relation_texts, **cond_kwargs)
+        noise, krun = self._batch_noise(len(prompts), seed, seeds)
         img = self.sample_latents(cond, noise, krun)
         return np.asarray(img)
 

@@ -58,6 +58,8 @@ class MicroBatcher:
                phrases: Sequence[str], relations: Optional[Sequence[str]] = None,
                seed: int = 42, timeout: Optional[float] = None):
         """Returns the generated image (H, W, 3) float in [0, 1]."""
+        if self._stop.is_set():
+            raise RuntimeError("batcher closed")
         req = _Request(prompt, (list(boxes), list(phrases)),
                        list(relations) if relations else None, int(seed))
         self._q.put(req)
@@ -71,6 +73,16 @@ class MicroBatcher:
         self._stop.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=5)
+        # fail any requests still queued (e.g. behind the sentinel) so their
+        # submit() callers unblock instead of hanging until timeout
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and not req.done.is_set():
+                req.error = RuntimeError("batcher closed before dispatch")
+                req.done.set()
 
     # -- worker side ---------------------------------------------------------
 

@@ -41,11 +41,6 @@ class GenerationServer:
                  host: str = "127.0.0.1", port: int = 8501, warmup: bool = True):
         self.batcher = MicroBatcher(pipeline, batch_size, max_delay_ms)
         self.ready = threading.Event()
-        if warmup:
-            # compile + first dispatch before serving traffic: the first
-            # request would otherwise pay the full trace/compile latency
-            self.batcher.submit("warmup", [[0.25, 0.25, 0.75, 0.75]], ["warmup"])
-        self.ready.set()
 
         server = self
 
@@ -102,6 +97,22 @@ class GenerationServer:
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
+
+        # bind the socket BEFORE warming up so deployments can probe
+        # /healthz (503 until the warmup dispatch lands) instead of getting
+        # connection-refused through the multi-minute SD-scale compile
+        if warmup:
+            def _warm():
+                try:
+                    self.batcher.submit("warmup", [[0.25, 0.25, 0.75, 0.75]],
+                                        ["warmup"])
+                finally:
+                    self.ready.set()
+
+            self._warmup_thread = threading.Thread(target=_warm, daemon=True)
+            self._warmup_thread.start()
+        else:
+            self.ready.set()
 
     def serve_forever(self):
         self.httpd.serve_forever()

@@ -240,13 +240,11 @@ class DiffusionTrainer:
         inference path (pipeline/inference.py _encode_bucketed)."""
         if not texts:
             return np.zeros((0, self.clip_cfg.hidden_size), np.float32)
+        from ..utils.buckets import pad_rows_pow2
+
         ids = self.tokenizer(list(texts))
         n = ids.shape[0]
-        bucket = 1
-        while bucket < n:
-            bucket *= 2
-        if bucket != n:
-            ids = np.concatenate([ids, np.tile(ids[-1:], (bucket - n, 1))], axis=0)
+        ids = pad_rows_pow2(ids)
         return np.asarray(self._encode_pooled(self.clip_params, jnp.asarray(ids)))[:n]
 
     def _grounding_tensors(self, captions, labels_list):

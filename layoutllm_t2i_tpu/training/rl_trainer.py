@@ -165,11 +165,10 @@ class RLTrainer:
         # where most parses failed no longer spends (B-1)/B of its diffusion
         # cost on throwaway rows (VERDICT r2 weak #4); padded rewards are
         # masked out below
+        from ..utils.buckets import pow2_bucket
+
         n_keep = len(keep_rows)
-        bucket = 1
-        while bucket < n_keep:
-            bucket *= 2
-        bucket = min(bucket, len(chunk))
+        bucket = pow2_bucket(n_keep, cap=len(chunk))
         pad = bucket - n_keep
         captions_p = captions + [captions[-1]] * pad
         layouts_pred_p = layouts_pred + [layouts_pred[-1]] * pad

@@ -36,7 +36,7 @@ def test_bench_default_contract():
 
 def test_bench_latency_mode():
     rec = _run("--latency")
-    assert rec["metric"] == "image_latency_p50"
+    assert rec["metric"] == "image_latency_steady_state_mean"
     assert rec["unit"] == "s/img"
     assert rec["value"] > 0
 

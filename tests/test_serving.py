@@ -90,6 +90,33 @@ def test_batcher_pads_short_batches(pipe):
         b.close()
 
 
+def test_tp_adapter_serves_through_batcher(pipe):
+    """serve --tp wiring: the TP adapter must honor the batcher's full
+    generate() contract, including per-request seeds (regression: the old
+    inline adapter lacked the seeds kwarg and crashed every dispatch)."""
+    from layoutllm_t2i_tpu.cli.serve import TPPipeAdapter
+    from layoutllm_t2i_tpu.parallel.tp import tp_mesh
+
+    b = MicroBatcher(TPPipeAdapter(pipe, tp_mesh()), batch_size=1,
+                     max_delay_ms=10)
+    try:
+        img = b.submit("a cat", [[0.2, 0.2, 0.7, 0.7]], ["cat"], seed=3,
+                       timeout=600)
+        assert np.asarray(img).ndim == 3
+        assert b.metrics()["errors"] == 0
+    finally:
+        b.close()
+
+
+def test_batcher_close_unblocks_queued_requests(pipe):
+    """close() must fail queued-but-undispatched requests instead of leaving
+    their submit() callers blocked forever."""
+    b = MicroBatcher(pipe, batch_size=1, max_delay_ms=10)
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.submit("late", [[0.1, 0.1, 0.5, 0.5]], ["x"], timeout=5)
+
+
 def test_http_server_endpoints(pipe):
     srv = GenerationServer(pipe, batch_size=2, max_delay_ms=10, port=0,
                            warmup=True)
@@ -97,6 +124,13 @@ def test_http_server_endpoints(pipe):
     try:
         conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=600)
 
+        # warmup is async behind a bound socket: /healthz answers 503 while
+        # the warmup dispatch compiles, then flips to 200
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        first = (r.status, json.loads(r.read())["ok"])
+        assert first in ((503, False), (200, True))
+        assert srv.ready.wait(600)
         conn.request("GET", "/healthz")
         r = conn.getresponse()
         assert r.status == 200 and json.loads(r.read())["ok"]
