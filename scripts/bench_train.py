@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--mixed_precision", action="store_true",
                     help="bf16 compute with f32 master weights")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatches per step "
+                         "(--batch is the effective batch)")
     ap.add_argument("--trace", type=str, default=None,
                     help="write a jax.profiler device trace to this dir")
     args = ap.parse_args()
@@ -55,7 +58,8 @@ def main():
     tcfg = TrainStepConfig(unet_cfg=cfg, schedule=schedule,
                            trainable_mode="rela_fuse", warmup_steps=0,
                            total_steps=1000, remat=args.remat,
-                           mixed_precision=args.mixed_precision)
+                           mixed_precision=args.mixed_precision,
+                           accum_steps=args.accum)
     state, frozen = init_partitioned_state(tcfg, params)
     step_inner = make_partitioned_train_step(tcfg)
 
@@ -120,6 +124,7 @@ def main():
         "batch": b,
         "remat": args.remat,
         "mixed_precision": args.mixed_precision,
+        "accum": args.accum,
     }))
 
 
