@@ -34,6 +34,11 @@ VARIANTS = [
         "LLT2I_FFN_BN": "256",
         "LLT2I_FFN_BM": "1024",
     }),
+    # batch scaling: larger CFG batches amortize kernel grid / dispatch
+    # overheads; headline stays per-chip img/s so bigger b is a legitimate
+    # throughput configuration if it wins (and VMEM still fits)
+    ("b12", {"LLT2I_BENCH_ARGS": "--batch 12 --vae_chunk 6"}),
+    ("b16", {"LLT2I_BENCH_ARGS": "--batch 16 --vae_chunk 8"}),
 ]
 
 
@@ -45,9 +50,11 @@ def main():
             continue
         e = dict(os.environ)
         e.update(env)
+        extra = e.pop("LLT2I_BENCH_ARGS", "").split()
         print(f"== {name}: {env}", flush=True)
         proc = subprocess.run(
-            [sys.executable, "bench.py"], env=e, capture_output=True, text=True)
+            [sys.executable, "bench.py", *extra], env=e,
+            capture_output=True, text=True)
         line = next((l for l in proc.stdout.splitlines()
                      if l.startswith("{")), None)
         if line is None:
