@@ -40,6 +40,11 @@ def main():
                     help="report p50 single-image latency instead of "
                          "throughput (forces batch 1; BASELINE.md tracks "
                          "p50 image latency alongside img/s)")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 UNet (per-channel scales, dequant "
+                         "fused into the consuming dots; ops/quant.py) — "
+                         "halves per-step weight HBM traffic, aimed at "
+                         "--latency where batch 1 is weight-bound")
     ap.add_argument("--sharded", action="store_true",
                     help="shard the prompt batch over ALL local devices "
                          "(prompt-DP, params replicated) — the multi-chip "
@@ -86,6 +91,10 @@ def main():
         tokenizer=HashTokenizer(vocab_size=clip_cfg.vocab_size),
         compute_dtype=dtype,
     )
+    if args.int8:
+        from layoutllm_t2i_tpu.pipeline.loaders import quantize_unet_int8
+
+        models = quantize_unet_int8(models)
     pipe = InferencePipeline(models, steps=args.steps, sampler="plms",
                              guidance_scale=args.guidance, alpha_type=(0.3, 0.0, 0.7),
                              vae_chunk=args.vae_chunk or None)

@@ -53,6 +53,10 @@ def main(argv=None):
                          "compute over ALL devices (parallel/tp.py) instead "
                          "of batching for throughput; implies --batch 1 "
                          "unless --batch is given explicitly")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 UNet (ops/quant.py): halves the "
+                         "per-step weight HBM reads — the latency-serving "
+                         "knob for small batches")
     args = ap.parse_args(argv)
 
     from ..pipeline.inference import InferencePipeline
@@ -65,6 +69,10 @@ def main(argv=None):
         models = load_models_from_gligen_ckpt(args.ckpt)
     else:
         models = random_models(small=args.small)
+    if args.int8:
+        from ..pipeline.loaders import quantize_unet_int8
+
+        models = quantize_unet_int8(models)
     steps = args.steps or (8 if args.small else 50)
     pipe = InferencePipeline(models, steps=steps,
                              guidance_scale=args.guidance_scale)

@@ -60,6 +60,9 @@ def parse_args(argv=None):
     p.add_argument("--layout", type=str, default=None,
                    help="explicit layout 'label:[x,y,w,h];label:[...]' (xywh)")
     p.add_argument("--small", action="store_true", help="tiny random models (CI smoke)")
+    p.add_argument("--int8", action="store_true",
+                   help="weight-only int8 UNet (ops/quant.py) — latency-"
+                        "oriented; see bench.py --int8")
     return p.parse_args(argv)
 
 
@@ -139,6 +142,10 @@ def _get_pipe(args) -> InferencePipeline:
             models = load_models_from_gligen_ckpt(args.diff_ckpt_path, args.sd_conv_path)
         else:
             models = random_models(small=args.small)
+        if getattr(args, "int8", False):
+            from ..pipeline.loaders import quantize_unet_int8
+
+            models = quantize_unet_int8(models)
         steps = 250 if args.no_plms else 50
         sampler = "ddim" if args.no_plms else "plms"
         _PIPE = InferencePipeline(models, steps=steps, sampler=sampler,

@@ -65,6 +65,51 @@ def _pallas_ffn_enabled() -> bool:
     )
 
 
+def _ffn_int8_site(p_ff, p_norm, x, s):
+    """Try the int8 FFN kernel (ops/pallas/ffn.py ffn_ln_geglu_scaled_q) for
+    an LN+GEGLU-FF+residual site with quantized weights; None if ineligible.
+    Opt-in (LLT2I_FFN_INT8=1) until the on-chip A/B: the default int8 route
+    is the XLA dots with the dequant fused in (see _ffn_quantized)."""
+    if os.environ.get("LLT2I_FFN_INT8", "0") != "1":
+        return None
+    from .quant import is_quantized
+
+    proj = p_ff["net"]["0"]["proj"]
+    out = p_ff["net"]["2"]
+    if not (is_quantized(proj.get("weight")) and is_quantized(out.get("weight"))):
+        return None
+    if proj.get("bias") is None or out.get("bias") is None:
+        return None
+    from .pallas.ffn import ffn_eligible, ffn_ln_geglu_scaled_q
+
+    qw, ow = proj["weight"], out["weight"]
+    k, n2 = qw.shape
+    inner = n2 // 2
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    if not ffn_eligible(m, k, inner, x.dtype.itemsize):
+        return None
+    y = ffn_ln_geglu_scaled_q(
+        x.reshape(m, k), qw.q[:, :inner], qw.q[:, inner:],
+        qw.scale[:inner], qw.scale[inner:],
+        proj["bias"][:inner], proj["bias"][inner:],
+        ow.q, ow.scale, out["bias"],
+        p_norm["weight"], p_norm["bias"], s)
+    return y.reshape(x.shape)
+
+
+def _ffn_quantized(proj, out) -> bool:
+    """int8 weights skip the Pallas FFN path: a pallas_call operand can't
+    absorb the dequant as a fusion producer, so the fused kernel would force
+    a per-scan-step dense bf16 weight materialization in HBM — the exact
+    traffic int8 mode exists to remove. The XLA dots fuse the dequant
+    (ops/quant.py)."""
+    from .quant import is_quantized
+
+    return is_quantized(proj.get("weight")) or is_quantized(out.get("weight"))
+
+
 def linear(p, x):
     w = p["weight"]
     if _pallas_matmul_enabled():
@@ -227,7 +272,8 @@ def geglu_ff_res(p, x, residual):
     (ops/pallas/ffn.py)."""
     proj = p["net"]["0"]["proj"]
     out = p["net"]["2"]
-    if _pallas_ffn_enabled() and proj.get("bias") is not None \
+    if _pallas_ffn_enabled() and not _ffn_quantized(proj, out) \
+            and proj.get("bias") is not None \
             and out.get("bias") is not None:
         from .pallas.ffn import ffn_eligible, ffn_geglu_fused
 
@@ -255,7 +301,12 @@ def ln_geglu_ff_res(p_ff, p_norm, x):
     (for A/B), falling through to geglu_ff_res."""
     proj = p_ff["net"]["0"]["proj"]
     out = p_ff["net"]["2"]
+    if _pallas_ffn_enabled() and os.environ.get("LLT2I_FFN_LN", "1") == "1":
+        y = _ffn_int8_site(p_ff, p_norm, x, 1.0)
+        if y is not None:
+            return y
     if _pallas_ffn_enabled() and os.environ.get("LLT2I_FFN_LN", "1") == "1" \
+            and not _ffn_quantized(proj, out) \
             and proj.get("bias") is not None and out.get("bias") is not None:
         from .pallas.ffn import ffn_eligible, ffn_ln_geglu_fused
 
@@ -281,7 +332,12 @@ def ln_geglu_ff_scaled_res(p_ff, p_norm, x, s):
     ln_geglu_ff_res with the scalar applied in the kernel epilogue."""
     proj = p_ff["net"]["0"]["proj"]
     out = p_ff["net"]["2"]
+    if _pallas_ffn_enabled() and os.environ.get("LLT2I_FFN_LN", "1") == "1":
+        y = _ffn_int8_site(p_ff, p_norm, x, s)
+        if y is not None:
+            return y
     if _pallas_ffn_enabled() and os.environ.get("LLT2I_FFN_LN", "1") == "1" \
+            and not _ffn_quantized(proj, out) \
             and proj.get("bias") is not None and out.get("bias") is not None:
         from .pallas.ffn import ffn_eligible, ffn_ln_geglu_scaled
 

@@ -318,3 +318,131 @@ def _ffn_ln_s_bwd(res, gy):
 
 
 ffn_ln_geglu_scaled.defvjp(_ffn_ln_s_fwd, _ffn_ln_s_bwd)
+
+
+# ---------------------------------------------------------------------------
+# weight-only int8 variant (ops/quant.py): the weight blocks stream from HBM
+# as int8 (half the bytes — the point of int8 mode) and dequantize in VMEM.
+# Per-output-channel scales distribute over the contraction, so they apply
+# POST-dot: dot(x, q*s) == dot(x, q) * s — one (bm, bn) multiply instead of a
+# (k, bn) dequant, and the int8->bf16 convert feeds the MXU directly.
+# Inference-only (no custom_vjp: training never runs int8). Opt-in via
+# LLT2I_FFN_INT8=1 until the on-chip A/B (Mosaic has rejected
+# interpreter-green kernels before — PERF.md).
+
+
+def _ffn_ln_q_kernel(x_ref, qa_ref, qg_ref, sa_ref, sg_ref, ba_ref, bg_ref,
+                     q2_ref, s2_ref, b2_ref, gm_ref, bt_ref, s_ref, o_ref,
+                     acc, xn, *, nj: int, eps: float):
+    ji = pl.program_id(1)
+
+    @pl.when(ji == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+        xf = x_ref[:].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + eps)
+        y = y * gm_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
+        xn[:] = y.astype(xn.dtype)
+
+    x = xn[:]
+    a = jax.lax.dot_general(x, qa_ref[:].astype(x.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    g = jax.lax.dot_general(x, qg_ref[:].astype(x.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    a = a * sa_ref[:] + ba_ref[:].astype(jnp.float32)
+    g = g * sg_ref[:] + bg_ref[:].astype(jnp.float32)
+    h = a * (0.5 * g * (1.0 + _erf(g * (2.0 ** -0.5))))
+    acc[:] = acc[:] + jax.lax.dot_general(
+        h.astype(x.dtype), q2_ref[:].astype(x.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ji == nj - 1)
+    def _fin():
+        y = acc[:] * s2_ref[:] + b2_ref[:].astype(jnp.float32)
+        o_ref[:] = (y * s_ref[0, 0]).astype(o_ref.dtype) + x_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "eps"))
+def _ffn_ln_q_call(x, qa, qg, sa, sg, ba, bg, q2, s2, b2, gamma, beta, s,
+                   eps: float, interpret: bool):
+    m, k = x.shape
+    n = qa.shape[1]
+    bm, bn = _blocks(m, k, n, x.dtype.itemsize)
+    nj = n // bn
+    colspec = lambda: pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                                   memory_space=pltpu.VMEM)
+    kspec = lambda: pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    rowspec = lambda: pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ffn_ln_q_kernel, nj=nj, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((m, k), x.dtype),
+        grid=(m // bm, nj),
+        in_specs=[
+            rowspec(),                                       # x
+            pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),           # Qa int8
+            pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),           # Qg int8
+            colspec(),                                       # sa f32
+            colspec(),                                       # sg f32
+            colspec(),                                       # ba
+            colspec(),                                       # bg
+            pl.BlockSpec((bn, k), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),           # Q2 int8
+            kspec(),                                         # s2 f32
+            kspec(),                                         # b2
+            kspec(),                                         # gamma
+            kspec(),                                         # beta
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),           # s
+        ],
+        out_specs=rowspec(),
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.float32),
+                        pltpu.VMEM((bm, k), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, qa, qg,
+      sa.reshape(1, -1).astype(jnp.float32),
+      sg.reshape(1, -1).astype(jnp.float32),
+      ba.reshape(1, -1).astype(x.dtype), bg.reshape(1, -1).astype(x.dtype),
+      q2, s2.reshape(1, -1).astype(jnp.float32),
+      b2.reshape(1, -1).astype(x.dtype),
+      gamma.reshape(1, -1), beta.reshape(1, -1),
+      jnp.asarray(s, jnp.float32).reshape(1, 1))
+
+
+def ffn_ln_geglu_scaled_q(x2, qa, qg, sa, sg, ba, bg, q2, s2, b2,
+                          gamma, beta, s):
+    """x2 + s * GEGLU_FF(LayerNorm(x2)) with int8 weights (q*, per-output-
+    channel scales s*) dequantized in VMEM. s=1.0 recovers the plain norm3
+    site. Inference-only (no vjp)."""
+    interpret = jax.default_backend() != "tpu"
+    return _ffn_ln_q_call(x2, qa, qg, sa, sg, ba, bg, q2, s2, b2,
+                          gamma, beta, s, _LN_EPS, interpret)
+
+
+def _ffn_ln_q_ref(x2, qa, qg, sa, sg, ba, bg, q2, s2, b2, gamma, beta, s):
+    """XLA reference mirroring the kernel's math (post-dot scales)."""
+    xf = x2.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    xn = (xn * gamma.astype(jnp.float32)
+          + beta.astype(jnp.float32)).astype(x2.dtype)
+    a = jnp.dot(xn, qa.astype(xn.dtype)).astype(jnp.float32) * sa \
+        + ba.astype(jnp.float32)
+    g = jnp.dot(xn, qg.astype(xn.dtype)).astype(jnp.float32) * sg \
+        + bg.astype(jnp.float32)
+    h = (a * jax.nn.gelu(g, approximate=False)).astype(x2.dtype)
+    y = jnp.dot(h, q2.astype(h.dtype)).astype(jnp.float32) * s2 \
+        + b2.astype(jnp.float32)
+    return x2 + (jnp.asarray(s, jnp.float32) * y).astype(x2.dtype)

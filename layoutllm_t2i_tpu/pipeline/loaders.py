@@ -148,3 +148,20 @@ def adapt_models_for_modality(models: GligenModels, modality: str,
     # modality runs keep grounding on for all steps (alpha [1,0,0])
     return dataclasses.replace(models, unet_cfg=new_cfg, unet_params=params,
                                sd_first_conv=None)
+
+
+def quantize_unet_int8(models: GligenModels, min_size: int = 1 << 16) -> GligenModels:
+    """Weight-only int8 UNet for the latency/serving path (ops/quant.py).
+
+    Halves the per-step HBM weight traffic of the sampling scan — the
+    dominant cost at batch 1, where the MXU is underutilized. VAE/CLIP stay
+    dense (decode is ~3% of image cost and text encode runs once per
+    request). Opt-in (bench/serve/txt2img ``--int8``); no reference
+    counterpart (GLIGEN serves fp16 autocast only).
+    """
+    import dataclasses
+
+    from ..ops.quant import quantize_params
+
+    return dataclasses.replace(
+        models, unet_params=quantize_params(models.unet_params, min_size))

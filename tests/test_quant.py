@@ -1,0 +1,223 @@
+"""Weight-only int8 quantization (ops/quant.py).
+
+Covers: per-channel round-trip error bounds, the QuantTensor array
+impersonation surface the model code relies on (astype/shape/getitem/
+__jax_array__/jit-argument pytree), op-level equivalence of quantized vs
+pre-dequantized params, the Pallas-FFN guard, and the full pipeline under
+``quantize_unet_int8``. No reference counterpart (GLIGEN has no
+quantization; fp16 autocast only)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from layoutllm_t2i_tpu.ops import nn
+from layoutllm_t2i_tpu.ops.quant import (
+    QuantTensor,
+    dequantize_params,
+    is_quantized,
+    quantize_params,
+    quantize_tensor,
+    quantized_bytes,
+)
+
+
+def test_roundtrip_error_bound():
+    w = np.random.RandomState(0).randn(64, 48).astype(np.float32) * 0.05
+    qt = quantize_tensor(w, jnp.float32)
+    back = np.asarray(qt.dequantize())
+    # symmetric int8: per-channel max error <= scale/2 = amax/254
+    amax = np.abs(w).max(axis=0)
+    assert (np.abs(back - w) <= amax / 254 + 1e-8).all()
+
+
+def test_zero_channel_safe():
+    w = np.zeros((8, 4), np.float32)
+    w[:, 0] = 1.0
+    qt = quantize_tensor(w, jnp.float32)
+    np.testing.assert_allclose(np.asarray(qt.dequantize()), w, atol=1 / 254)
+    assert np.isfinite(np.asarray(qt.scale)).all()
+
+
+def test_array_impersonation():
+    w = np.random.RandomState(1).randn(3, 3, 16, 32).astype(np.float32)
+    qt = quantize_tensor(w, jnp.bfloat16)
+    assert qt.shape == (3, 3, 16, 32) and qt.ndim == 4 and qt.size == w.size
+    assert qt.dtype == jnp.bfloat16
+    assert qt.astype(jnp.float32).dtype == jnp.float32
+    # the 1x1-conv indexing pattern (ops/nn.py conv2d)
+    assert qt[0, 0].shape == (16, 32)
+    # __jax_array__: usable directly inside jnp ops
+    y = jnp.sum(jnp.asarray(qt).astype(jnp.float32))
+    assert np.isfinite(float(y))
+    assert qt.reshape(9, 16, 32).shape == (9, 16, 32)
+
+
+def test_jit_argument_pytree():
+    w = np.random.RandomState(2).randn(32, 16).astype(np.float32)
+    qt = quantize_tensor(w, jnp.float32)
+    x = np.random.RandomState(3).randn(4, 32).astype(np.float32)
+
+    @jax.jit
+    def f(q, x):
+        return jnp.dot(x, q.astype(x.dtype))
+
+    got = np.asarray(f(qt, x))
+    want = x @ np.asarray(qt.dequantize())
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # same structure re-dispatches without recompiling
+    assert np.isfinite(np.asarray(f(qt, x + 1))).all()
+
+
+def test_linear_and_conv_match_dense_dequant():
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(2, 8, 8, 16).astype(np.float32))
+    pw = {"weight": jnp.asarray(rs.randn(3, 3, 16, 16).astype(np.float32) * 0.1),
+          "bias": jnp.asarray(rs.randn(16).astype(np.float32))}
+    pq = {"weight": quantize_tensor(pw["weight"], jnp.float32), "bias": pw["bias"]}
+    pd = {"weight": pq["weight"].dequantize(), "bias": pw["bias"]}
+    np.testing.assert_allclose(np.asarray(nn.conv2d(pq, x)),
+                               np.asarray(nn.conv2d(pd, x)), rtol=1e-6, atol=1e-6)
+
+    xl = jnp.asarray(rs.randn(5, 16).astype(np.float32))
+    lw = {"weight": jnp.asarray(rs.randn(16, 24).astype(np.float32)),
+          "bias": jnp.asarray(rs.randn(24).astype(np.float32))}
+    lq = {"weight": quantize_tensor(lw["weight"], jnp.float32), "bias": lw["bias"]}
+    ld = {"weight": lq["weight"].dequantize(), "bias": lw["bias"]}
+    np.testing.assert_allclose(np.asarray(nn.linear(lq, xl)),
+                               np.asarray(nn.linear(ld, xl)), rtol=1e-6, atol=1e-6)
+
+
+def test_quantize_params_selectivity():
+    rs = np.random.RandomState(5)
+    tree = {
+        "big": {"weight": jnp.asarray(rs.randn(64, 64).astype(np.float32)),
+                "bias": jnp.asarray(rs.randn(64).astype(np.float32))},
+        "norm": {"weight": jnp.ones((64,), jnp.float32),
+                 "bias": jnp.zeros((64,), jnp.float32)},
+        "tiny": {"weight": jnp.asarray(rs.randn(2, 2).astype(np.float32))},
+        "alpha_attn": jnp.asarray(0.3),
+    }
+    q = quantize_params(tree, min_size=64 * 64)
+    assert is_quantized(q["big"]["weight"])
+    assert not is_quantized(q["norm"]["weight"])   # 1-D: never quantized
+    assert not is_quantized(q["tiny"]["weight"])   # below min_size
+    assert not is_quantized(q["alpha_attn"])
+    # footprint: int8 + f32 scales < half the f32 dense bytes for the big leaf
+    assert quantized_bytes(q) < quantized_bytes(tree)
+    d = dequantize_params(q)
+    assert not any(is_quantized(l) for l in jax.tree_util.tree_leaves(
+        d, is_leaf=is_quantized))
+
+
+def test_ffn_quant_guard():
+    proj = {"weight": quantize_tensor(np.eye(8, dtype=np.float32), jnp.float32),
+            "bias": jnp.zeros((8,))}
+    out = {"weight": jnp.eye(8), "bias": jnp.zeros((8,))}
+    assert nn._ffn_quantized(proj, out)
+    assert not nn._ffn_quantized({"weight": jnp.eye(8)}, out)
+
+
+def test_pipeline_int8_end_to_end():
+    from layoutllm_t2i_tpu.pipeline.inference import InferencePipeline
+    from layoutllm_t2i_tpu.pipeline.loaders import quantize_unet_int8, random_models
+
+    models = random_models(small=True)
+    qmodels = quantize_unet_int8(models, min_size=128)
+    n_q = sum(is_quantized(l) for l in jax.tree_util.tree_leaves(
+        qmodels.unet_params, is_leaf=is_quantized))
+    assert n_q > 0
+    pipe_q = InferencePipeline(qmodels, steps=3, sampler="plms",
+                               guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7))
+    prompts = ["a cat on a table"]
+    layouts = [([[0.1, 0.1, 0.6, 0.6]], ["cat"])]
+    imgs_q = pipe_q.generate(prompts, layouts, seed=7)
+    assert np.isfinite(imgs_q).all() and imgs_q.min() >= 0 and imgs_q.max() <= 1
+
+    # bit-equivalence vs running the SAME (dequantized) dense weights: the
+    # int8 path must only change where the dequant happens, not the math
+    import dataclasses
+
+    dmodels = dataclasses.replace(
+        models, unet_params=dequantize_params(qmodels.unet_params))
+    pipe_d = InferencePipeline(dmodels, steps=3, sampler="plms",
+                               guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7))
+    imgs_d = pipe_d.generate(prompts, layouts, seed=7)
+    np.testing.assert_allclose(imgs_q, imgs_d, rtol=2e-5, atol=2e-5)
+
+    # and the int8 error vs the ORIGINAL weights stays small-but-nonzero
+    pipe_f = InferencePipeline(models, steps=3, sampler="plms",
+                               guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7))
+    imgs_f = pipe_f.generate(prompts, layouts, seed=7)
+    assert not np.array_equal(imgs_q, imgs_f)
+    assert np.abs(imgs_q - imgs_f).mean() < 0.15
+
+
+def test_ffn_int8_kernel_matches_reference():
+    """ffn_ln_geglu_scaled_q (in-VMEM dequant, post-dot scales) vs its XLA
+    mirror, interpret mode (CPU). On-chip validation is the sweep's job —
+    the kernel is opt-in (LLT2I_FFN_INT8=1) until then."""
+    from layoutllm_t2i_tpu.ops.pallas.ffn import (
+        _ffn_ln_q_ref, ffn_ln_geglu_scaled_q)
+
+    rng = np.random.RandomState(11)
+    m, k, inner = 1024, 320, 1280
+    f = lambda s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    qproj = quantize_tensor(np.asarray(f((k, 2 * inner))) * 0.05, jnp.float32)
+    qout = quantize_tensor(np.asarray(f((inner, k))) * 0.05, jnp.float32)
+    x = f((m, k)) * 0.2
+    ba, bg = f(inner) * 0.1, f(inner) * 0.1
+    b2 = f(k) * 0.1
+    gamma, beta = 1.0 + f(k) * 0.1, f(k) * 0.1
+    args = (x, qproj.q[:, :inner], qproj.q[:, inner:],
+            qproj.scale[:inner], qproj.scale[inner:], ba, bg,
+            qout.q, qout.scale, b2, gamma, beta)
+    for s in (1.0, 0.37, 0.0):
+        out = ffn_ln_geglu_scaled_q(*args, jnp.float32(s))
+        ref = _ffn_ln_q_ref(*args, jnp.float32(s))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-4)
+
+
+def test_ffn_int8_site_dispatch(monkeypatch):
+    """_ffn_int8_site routes an eligible quantized LN+FF+res site through the
+    int8 kernel and matches the dense-dequant XLA computation."""
+    rng = np.random.RandomState(12)
+    k, inner, m = 320, 1280, 1024
+    f = lambda s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    p_ff = {"net": {"0": {"proj": {"weight": f((k, 2 * inner)) * 0.05,
+                                   "bias": f(2 * inner) * 0.1}},
+                    "2": {"weight": f((inner, k)) * 0.05, "bias": f(k) * 0.1}}}
+    p_norm = {"weight": 1.0 + f(k) * 0.1, "bias": f(k) * 0.1}
+    x = f((2, m // 2, k)) * 0.2
+
+    q_ff = quantize_params(p_ff, min_size=1)
+    monkeypatch.setenv("LLT2I_FFN_INT8", "1")
+    y = nn._ffn_int8_site(q_ff, p_norm, x, 1.0)
+    assert y is not None and y.shape == x.shape
+    dense = dequantize_params(q_ff)
+    ref = nn.geglu_ff(dense, nn.layer_norm(p_norm, x)) + x
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+    monkeypatch.setenv("LLT2I_FFN_INT8", "0")
+    assert nn._ffn_int8_site(q_ff, p_norm, x, 1.0) is None
+    monkeypatch.setenv("LLT2I_FFN_INT8", "1")
+    assert nn._ffn_int8_site(p_ff, p_norm, x, 1.0) is None  # dense weights
+
+
+def test_int8_flag_in_clis():
+    """--int8 is exposed on bench/serve/txt2img (wiring is what the e2e test
+    above exercises; here just pin the flag surface)."""
+    import importlib
+
+    for mod, attr in (("layoutllm_t2i_tpu.cli.serve", "main"),
+                      ("layoutllm_t2i_tpu.cli.txt2img", None)):
+        src_mod = importlib.import_module(mod)
+        import inspect
+
+        src = inspect.getsource(src_mod)
+        assert "--int8" in src, mod
+    import pathlib
+
+    bench_src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
+    assert "--int8" in bench_src
