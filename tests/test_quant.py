@@ -205,6 +205,24 @@ def test_ffn_int8_site_dispatch(monkeypatch):
     assert nn._ffn_int8_site(p_ff, p_norm, x, 1.0) is None  # dense weights
 
 
+def test_int8_composes_with_sharded_generation():
+    """QuantTensor leaves ride NamedSharding in_shardings (prompt-DP
+    generate_sharded) — the multi-chip serving configuration."""
+    from layoutllm_t2i_tpu.parallel.mesh import make_mesh
+    from layoutllm_t2i_tpu.pipeline.inference import InferencePipeline
+    from layoutllm_t2i_tpu.pipeline.loaders import quantize_unet_int8, random_models
+
+    models = quantize_unet_int8(random_models(small=True), min_size=128)
+    pipe = InferencePipeline(models, steps=2, sampler="plms",
+                             guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7))
+    mesh = make_mesh(len(jax.devices()))
+    n = len(jax.devices())
+    prompts = ["a cat"] * n
+    layouts = [([[0.1, 0.1, 0.6, 0.6]], ["cat"])] * n
+    imgs = pipe.generate_sharded(mesh, prompts, layouts, seed=3)
+    assert imgs.shape[0] == n and np.isfinite(imgs).all()
+
+
 def test_int8_flag_in_clis():
     """--int8 is exposed on bench/serve/txt2img (wiring is what the e2e test
     above exercises; here just pin the flag surface)."""
