@@ -45,6 +45,11 @@ def main():
                          "fused into the consuming dots; ops/quant.py) — "
                          "halves per-step weight HBM traffic, aimed at "
                          "--latency where batch 1 is weight-bound")
+    ap.add_argument("--cache_encoder", type=int, default=0,
+                    help="encoder propagation interval N (arXiv:2312.09608): "
+                         "run the UNet encoder every Nth step, reuse cached "
+                         "skips in between. APPROXIMATE (not bit-exact); "
+                         "0/1 = exact default")
     ap.add_argument("--sharded", action="store_true",
                     help="shard the prompt batch over ALL local devices "
                          "(prompt-DP, params replicated) — the multi-chip "
@@ -97,7 +102,8 @@ def main():
         models = quantize_unet_int8(models)
     pipe = InferencePipeline(models, steps=args.steps, sampler="plms",
                              guidance_scale=args.guidance, alpha_type=(0.3, 0.0, 0.7),
-                             vae_chunk=args.vae_chunk or None)
+                             vae_chunk=args.vae_chunk or None,
+                             encoder_cache_interval=args.cache_encoder)
 
     if args.latency:
         args.batch = 1

@@ -57,6 +57,9 @@ def main(argv=None):
                     help="weight-only int8 UNet (ops/quant.py): halves the "
                          "per-step weight HBM reads — the latency-serving "
                          "knob for small batches")
+    ap.add_argument("--cache_encoder", type=int, default=0,
+                    help="encoder propagation interval (approximate speed "
+                         "mode, arXiv:2312.09608; 0/1 = exact)")
     args = ap.parse_args(argv)
 
     from ..pipeline.inference import InferencePipeline
@@ -75,7 +78,8 @@ def main(argv=None):
         models = quantize_unet_int8(models)
     steps = args.steps or (8 if args.small else 50)
     pipe = InferencePipeline(models, steps=steps,
-                             guidance_scale=args.guidance_scale)
+                             guidance_scale=args.guidance_scale,
+                             encoder_cache_interval=args.cache_encoder)
     if args.tp:
         from ..parallel.tp import tp_mesh
 

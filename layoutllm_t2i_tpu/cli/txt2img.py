@@ -63,6 +63,9 @@ def parse_args(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="weight-only int8 UNet (ops/quant.py) — latency-"
                         "oriented; see bench.py --int8")
+    p.add_argument("--cache_encoder", type=int, default=0,
+                   help="encoder propagation interval (approximate speed "
+                        "mode, arXiv:2312.09608; 0/1 = exact)")
     return p.parse_args(argv)
 
 
@@ -150,7 +153,9 @@ def _get_pipe(args) -> InferencePipeline:
         sampler = "ddim" if args.no_plms else "plms"
         _PIPE = InferencePipeline(models, steps=steps, sampler=sampler,
                                   guidance_scale=args.guidance_scale,
-                                  alpha_type=(0.3, 0.0, 0.7))
+                                  alpha_type=(0.3, 0.0, 0.7),
+                                  encoder_cache_interval=getattr(
+                                      args, "cache_encoder", 0))
     return _PIPE
 
 

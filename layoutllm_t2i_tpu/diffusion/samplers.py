@@ -138,6 +138,8 @@ def plms_sample(
     inpaint: Optional[InpaintBlend] = None,
     rng: Optional[jax.Array] = None,
     denoise_skip_fn=None,
+    cache_init=None,
+    key_steps=None,
 ):
     """PLMS (pseudo linear multistep, AB up to 4th order) sampling.
 
@@ -149,10 +151,17 @@ def plms_sample(
     denoise_skip_fn: optional same-signature variant with the gated fusers
     statically elided; used for the (trace-time constant) steps where
     fuser_scale == 0 — bit-exact, since those fusers contribute x + 0*(...).
+
+    cache_init/key_steps: encoder-propagation mode (arXiv:2312.09608,
+    opt-in, approximate). ``key_steps`` is a (S,) bool array; on False steps
+    the denoise fns are called with the carried encoder cache and skip the
+    UNet encoder. In this mode both denoise fns must accept
+    ``cache=..., is_key=...`` and return ``(eps, new_cache)``.
     """
     steps = int(tables.t.shape[0])
     b = x_init.shape[0]
     sched_dev = _schedule_device(schedule) if schedule is not None else None
+    cached_mode = cache_init is not None
 
     def blend(x, t, rng_step):
         if inpaint is None:
@@ -170,16 +179,33 @@ def plms_sample(
     # once per unrolled call — compile time for the 50-step program stays flat.
     def make_body(dn, allow_warm: bool):
         def body(carry, inp):
-            x, hist, count = carry
-            (t, t_nxt, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step) = inp
+            if cached_mode:
+                x, hist, count, cache = carry
+                (t, t_nxt, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step,
+                 is_key) = inp
+            else:
+                x, hist, count = carry
+                (t, t_nxt, a_t, a_prev, sigma, s1m, fscale, use_sd,
+                 rng_step) = inp
             x = blend(x, t, rng_step)
             tv = jnp.full((b,), t)
-            e_t = dn(x, tv, fscale, use_sd)
+            if cached_mode:
+                e_t, cache = dn(x, tv, fscale, use_sd, cache=cache,
+                                is_key=is_key)
+            else:
+                e_t = dn(x, tv, fscale, use_sd)
 
             def heun(_):
                 # pseudo improved Euler (plms.py:144-150)
                 x_mid, _ = _update(x, e_t, a_t, a_prev, sigma, s1m, zero_noise)
-                e_next = dn(x_mid, jnp.full((b,), t_nxt), fscale, use_sd)
+                if cached_mode:
+                    # adjacent-t eval: reuse the cache just refreshed by the
+                    # (always-key) step-0 forward
+                    e_next, _ = dn(x_mid, jnp.full((b,), t_nxt), fscale,
+                                   use_sd, cache=cache,
+                                   is_key=jnp.asarray(False))
+                else:
+                    e_next = dn(x_mid, jnp.full((b,), t_nxt), fscale, use_sd)
                 return (e_t + e_next) / 2
 
             def adams_bashforth(_):
@@ -201,6 +227,8 @@ def plms_sample(
                 e_prime = adams_bashforth(None)
             x_new, _ = _update(x, e_prime, a_t, a_prev, sigma, s1m, zero_noise)
             hist = jnp.stack([e_t, hist[0], hist[1]])
+            if cached_mode:
+                return (x_new, hist, count + 1, cache), None
             return (x_new, hist, count + 1), None
         return body
 
@@ -211,7 +239,11 @@ def plms_sample(
         tables.sigma, tables.sqrt_one_minus_at, tables.fuser_scale,
         tables.use_sd_conv, rngs,
     )
-    carry = (x_init, hist0, count0)
+    if cached_mode:
+        xs = xs + (jnp.asarray(np.asarray(key_steps, dtype=bool)),)
+        carry = (x_init, hist0, count0, cache_init)
+    else:
+        carry = (x_init, hist0, count0)
     for a, end, is_zero in _alpha_segments(tables, denoise_skip_fn):
         dn = denoise_skip_fn if is_zero else denoise_fn
         carry, _ = jax.lax.scan(make_body(dn, allow_warm=(a == 0)), carry,
@@ -227,42 +259,61 @@ def ddim_sample(
     inpaint: Optional[InpaintBlend] = None,
     rng: Optional[jax.Array] = None,
     denoise_skip_fn=None,
+    cache_init=None,
+    key_steps=None,
 ):
     """DDIM sampling (ddim.py:65-135); eta>0 adds sigma-scaled noise.
 
     denoise_skip_fn: as in plms_sample — gated-fuser-free variant for the
-    statically known fuser_scale == 0 steps."""
+    statically known fuser_scale == 0 steps.
+    cache_init/key_steps: encoder-propagation mode, see plms_sample."""
     steps = int(tables.t.shape[0])
     b = x_init.shape[0]
     sched_dev = _schedule_device(schedule) if schedule is not None else None
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     rngs = jax.random.split(rng, steps)
     stochastic = bool(np.any(np.asarray(tables.sigma) > 0))
+    cached_mode = cache_init is not None
 
     def make_body(dn):
-        def body(x, inp):
-            (t, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step) = inp
+        def body(carry, inp):
+            if cached_mode:
+                x, cache = carry
+                (t, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step,
+                 is_key) = inp
+            else:
+                x = carry
+                (t, a_t, a_prev, sigma, s1m, fscale, use_sd, rng_step) = inp
             r_blend, r_noise = jax.random.split(rng_step)
             if inpaint is not None:
                 img_orig = _q_sample(sched_dev, inpaint.z0, jnp.full((b,), t), r_blend)
                 x = img_orig * inpaint.mask + (1.0 - inpaint.mask) * x
             tv = jnp.full((b,), t)
-            e_t = dn(x, tv, fscale, use_sd)
+            if cached_mode:
+                e_t, cache = dn(x, tv, fscale, use_sd, cache=cache,
+                                is_key=is_key)
+            else:
+                e_t = dn(x, tv, fscale, use_sd)
             noise = (
                 jax.random.normal(r_noise, x.shape, x.dtype)
                 if stochastic
                 else jnp.zeros_like(x)
             )
             x_new, _ = _update(x, e_t, a_t, a_prev, sigma, s1m, noise)
-            return x_new, None
+            return ((x_new, cache) if cached_mode else x_new), None
         return body
 
     xs = (
         tables.t, tables.a_t, tables.a_prev, tables.sigma,
         tables.sqrt_one_minus_at, tables.fuser_scale, tables.use_sd_conv, rngs,
     )
-    x = x_init
+    if cached_mode:
+        xs = xs + (jnp.asarray(np.asarray(key_steps, dtype=bool)),)
+        carry = (x_init, cache_init)
+    else:
+        carry = x_init
     for a, end, is_zero in _alpha_segments(tables, denoise_skip_fn):
         dn = denoise_skip_fn if is_zero else denoise_fn
-        x, _ = jax.lax.scan(make_body(dn), x, tuple(v[a:end] for v in xs))
-    return x
+        carry, _ = jax.lax.scan(make_body(dn), carry,
+                                tuple(v[a:end] for v in xs))
+    return carry[0] if cached_mode else carry

@@ -283,13 +283,24 @@ def unet_apply(
     extra_grounding: Optional[dict] = None,           # text_image mode inputs
     objs: Optional[jnp.ndarray] = None,               # precomputed grounding tokens
     skip_gated: bool = False,                         # static: fuser_scale == 0
+    encoder_cache: Optional[dict] = None,             # propagated-step reuse
+    return_encoder_cache: bool = False,
 ):
     """One eps-prediction forward (openaimodel.py:413-459).
 
     ``objs`` lets the sampler hoist the grounding tokens out of the step
     scan: they depend only on the (step-invariant) grounding inputs, yet the
     reference recomputes position_net per UNet call — for the ConvNeXt map
-    tokenizer that is 100 backbone evals per 50-step CFG sample."""
+    tokenizer that is 100 backbone evals per 50-step CFG sample.
+
+    Encoder propagation ("Faster Diffusion", arXiv:2312.09608; opt-in, no
+    reference counterpart): encoder features drift slowly across adjacent
+    sampling steps, so on non-key steps the entire input_blocks stack can be
+    skipped and the cached skips reused — the decoder still sees the current
+    timestep embedding and latent trajectory via the sampler update.
+    ``return_encoder_cache=True`` additionally returns
+    ``{"hs": tuple, "mid_in": h}``; ``encoder_cache`` (same structure) skips
+    the encoder and consumes the cached features. Mutually exclusive."""
     if skip_gated:
         # grounding tokens feed only the gated fusers; with those statically
         # elided (fuser_scale == 0 steps) position_net is dead compute too
@@ -317,18 +328,24 @@ def unet_apply(
             use_rela=cfg.use_relation_attention, skip_gated=skip_gated,
         )
 
-    hs = []
-    for idx, (kind, _ci, _co, _ds) in enumerate(input_block_specs(cfg)):
-        blk = params["input_blocks"][str(idx)]
-        if kind == "conv":
-            h = nn.conv2d(blk["0"], h, padding=1)
-        elif kind == "down":
-            h = downsample(blk["0"], h)
-        else:
-            h = res_block(blk["0"], h, emb)
-            if kind == "res_st":
-                h = run_st(blk["1"], h)
-        hs.append(h)
+    if encoder_cache is not None:
+        assert not return_encoder_cache
+        hs = list(encoder_cache["hs"])
+        h = encoder_cache["mid_in"]
+    else:
+        hs = []
+        for idx, (kind, _ci, _co, _ds) in enumerate(input_block_specs(cfg)):
+            blk = params["input_blocks"][str(idx)]
+            if kind == "conv":
+                h = nn.conv2d(blk["0"], h, padding=1)
+            elif kind == "down":
+                h = downsample(blk["0"], h)
+            else:
+                h = res_block(blk["0"], h, emb)
+                if kind == "res_st":
+                    h = run_st(blk["1"], h)
+            hs.append(h)
+    cache = {"hs": tuple(hs), "mid_in": h}
 
     mid = params["middle_block"]
     h = res_block(mid["0"], h, emb)
@@ -348,4 +365,6 @@ def unet_apply(
 
     h = nn.group_norm(params["out"]["0"], h, silu=True)
     h = nn.conv2d(params["out"]["2"], h)
+    if return_encoder_cache:
+        return h, cache
     return h

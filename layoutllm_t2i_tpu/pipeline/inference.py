@@ -121,7 +121,11 @@ def make_cfg_denoiser(
     use_cfg = guidance_scale != 1.0
 
     def denoise(params, sd_conv, cond, x, t, fuser_scale, use_sd,
-                skip_gated: bool = False):
+                skip_gated: bool = False, cache=None, is_key=None):
+        """cache/is_key: encoder-propagation mode (unet.py encoder_cache,
+        arXiv:2312.09608) — returns (eps, new_cache) instead of eps. is_key
+        selects (via lax.cond) between a full forward that refreshes the
+        cache and a decoder-only forward consuming it."""
         if sd_conv is not None and cfg.first_conv_restorable:
             first = params["input_blocks"]["0"]["0"]
             blended = {
@@ -141,8 +145,8 @@ def make_cfg_denoiser(
             # extra input channels and relations ride through unchanged
             # (plms.py:118-121)
             dup = lambda a: None if a is None else jnp.concatenate([a, a])
-            x2 = jnp.concatenate([xm, xm])
-            t2 = jnp.concatenate([t, t])
+            x_in = jnp.concatenate([xm, xm])
+            t_in = jnp.concatenate([t, t])
             ctx = jnp.concatenate([cond["context"], cond["uc_context"]]).astype(dtype)
             boxes = jnp.concatenate([cond["boxes"], jnp.zeros_like(cond["boxes"])])
             masks = jnp.concatenate([cond["masks"], jnp.zeros_like(cond["masks"])])
@@ -150,25 +154,47 @@ def make_cfg_denoiser(
                 [cond["phrase_embeddings"], jnp.zeros_like(cond["phrase_embeddings"])]
             ).astype(dtype)
             rel = jnp.concatenate([cond["relations"], cond["relations"]]).astype(dtype)
-            eg2 = (None if extra_grounding is None
-                   else {k: jnp.concatenate([v, jnp.zeros_like(v)])
-                         for k, v in extra_grounding.items()})
-            eps = unet_apply(params, cfg, x2, t2, ctx, boxes, masks, pos, rel,
-                             fuser_scale=fuser_scale,
-                             inpainting_extra=dup(inpainting_extra),
-                             grounding_extra=dup(grounding_extra),
-                             attn_impl=attn_impl, extra_grounding=eg2,
-                             objs=cond.get("objs"), skip_gated=skip_gated)
+            eg_in = (None if extra_grounding is None
+                     else {k: jnp.concatenate([v, jnp.zeros_like(v)])
+                           for k, v in extra_grounding.items()})
+            ie_in = dup(inpainting_extra)
+            ge_in = dup(grounding_extra)
+        else:
+            x_in, t_in = xm, t
+            ctx = cond["context"].astype(dtype)
+            boxes, masks = cond["boxes"], cond["masks"]
+            pos = cond["phrase_embeddings"].astype(dtype)
+            rel = cond["relations"].astype(dtype)
+            eg_in, ie_in, ge_in = extra_grounding, inpainting_extra, grounding_extra
+
+        def call_unet(xi, enc_cache, return_cache):
+            return unet_apply(params, cfg, xi, t_in, ctx, boxes, masks, pos,
+                              rel, fuser_scale=fuser_scale,
+                              inpainting_extra=ie_in, grounding_extra=ge_in,
+                              attn_impl=attn_impl, extra_grounding=eg_in,
+                              objs=cond.get("objs"), skip_gated=skip_gated,
+                              encoder_cache=enc_cache,
+                              return_encoder_cache=return_cache)
+
+        def combine(eps):
+            if not use_cfg:
+                return eps.astype(jnp.float32)
             e_cond, e_uncond = jnp.split(eps.astype(jnp.float32), 2)
             return e_uncond + guidance_scale * (e_cond - e_uncond)
-        eps = unet_apply(params, cfg, xm, t, cond["context"].astype(dtype), cond["boxes"],
-                         cond["masks"], cond["phrase_embeddings"].astype(dtype),
-                         cond["relations"].astype(dtype), fuser_scale=fuser_scale,
-                         inpainting_extra=inpainting_extra,
-                         grounding_extra=grounding_extra,
-                         attn_impl=attn_impl, extra_grounding=extra_grounding,
-                         objs=cond.get("objs"), skip_gated=skip_gated)
-        return eps.astype(jnp.float32)
+
+        if cache is None:
+            return combine(call_unet(x_in, None, False))
+        if isinstance(cache, str):  # "init": key-path-only trace for
+            # cache shape inference (no cond — the prop branch would need
+            # the very structure being derived)
+            eps, new_cache = call_unet(x_in, None, True)
+            return combine(eps), new_cache
+        eps, new_cache = jax.lax.cond(
+            is_key,
+            lambda xi, c: call_unet(xi, None, True),
+            lambda xi, c: (call_unet(xi, c, False), c),
+            x_in, cache)
+        return combine(eps), new_cache
 
     return denoise
 
@@ -183,7 +209,8 @@ class InferencePipeline:
     def __init__(self, models: GligenModels, steps: int = 50, sampler: str = "plms",
                  guidance_scale: float = 7.5, alpha_type=(0.3, 0.0, 0.7),
                  eta: float = 0.0, attn_impl: str = "auto",
-                 vae_chunk: Optional[int] = None):
+                 vae_chunk: Optional[int] = None,
+                 encoder_cache_interval: Optional[int] = None):
         self.models = models
         self.steps = steps
         self.sampler = sampler
@@ -191,6 +218,13 @@ class InferencePipeline:
         self.alpha_type = tuple(alpha_type) if alpha_type is not None else None
         self.eta = eta
         self.attn_impl = attn_impl
+        # encoder propagation (arXiv:2312.09608, APPROXIMATE, opt-in): run
+        # the UNet encoder only every Nth step, reusing the cached skip
+        # features in between; 1/None = exact default. Ignored for
+        # inpainting (the blend must flow through the encoder every step).
+        self.encoder_cache_interval = (
+            None if not encoder_cache_interval or encoder_cache_interval <= 1
+            else int(encoder_cache_interval))
         # decode the VAE in batch chunks: 512^2 decode activations are ~64MB
         # per image and the full-batch decode is the peak-HBM site of the
         # sampler (a b=16 decode crashed the v5e worker); conv MFU saturates
@@ -233,6 +267,21 @@ class InferencePipeline:
 
     # -- sampling ---------------------------------------------------------
 
+    def _key_steps(self) -> np.ndarray:
+        """Static (S,) bool table for encoder propagation: a full (key)
+        forward every Nth step within each constant-fuser_scale segment —
+        segment starts are forced key, so a propagated step never consumes a
+        cache computed under a different first-conv / skip_gated regime."""
+        fuser = np.asarray(self.tables.fuser_scale)
+        zero = fuser == 0
+        keys = np.zeros(len(fuser), dtype=bool)
+        seg_start = 0
+        for i in range(len(fuser)):
+            if i and zero[i] != zero[i - 1]:
+                seg_start = i
+            keys[i] = (i - seg_start) % self.encoder_cache_interval == 0
+        return keys
+
     def _sample_fn(self, unet_params, vae_params, sd_conv, cond, noise, rng):
         denoise_core = make_cfg_denoiser(self.models, self.guidance_scale, self.attn_impl)
         # hoist the step-invariant grounding tokens out of the sampling scan
@@ -240,14 +289,15 @@ class InferencePipeline:
         cond["objs"] = precompute_grounding_tokens(
             self.models, unet_params, cond, self.guidance_scale != 1.0)
 
-        def denoise(x, t, fscale, use_sd):
-            return denoise_core(unet_params, sd_conv, cond, x, t, fscale, use_sd)
+        def denoise(x, t, fscale, use_sd, **kw):
+            return denoise_core(unet_params, sd_conv, cond, x, t, fscale,
+                                use_sd, **kw)
 
-        def denoise_skip(x, t, fscale, use_sd):
+        def denoise_skip(x, t, fscale, use_sd, **kw):
             # reduced body for the statically-zero alpha steps: the sampler
             # only calls this where fuser_scale == 0 (see _alpha_segments)
             return denoise_core(unet_params, sd_conv, cond, x, t, fscale,
-                                use_sd, skip_gated=True)
+                                use_sd, skip_gated=True, **kw)
 
         sample = plms_sample if self.sampler == "plms" else ddim_sample
         inpaint = None
@@ -255,8 +305,20 @@ class InferencePipeline:
             from ..diffusion.samplers import InpaintBlend
 
             inpaint = InpaintBlend(mask=cond["inpaint_mask"], z0=cond["inpaint_z0"])
+        cache_kw = {}
+        if self.encoder_cache_interval and inpaint is None:
+            t0 = jnp.full((noise.shape[0],), self.tables.t[0])
+            cache_shapes = jax.eval_shape(
+                lambda nz: denoise(nz, t0, 1.0, False, cache="init",
+                                   is_key=True)[1], noise)
+            cache_kw = {
+                "cache_init": jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes),
+                "key_steps": self._key_steps(),
+            }
         z = sample(denoise, self.tables, noise, schedule=self.models.schedule,
-                   inpaint=inpaint, rng=rng, denoise_skip_fn=denoise_skip)
+                   inpaint=inpaint, rng=rng, denoise_skip_fn=denoise_skip,
+                   **cache_kw)
         z = z.astype(self.models.compute_dtype)
         b = z.shape[0]
         if self.vae_chunk and self.vae_chunk < b:

@@ -39,6 +39,10 @@ VARIANTS = [
     # throughput configuration if it wins (and VMEM still fits)
     ("b12", {"LLT2I_BENCH_ARGS": "--batch 12 --vae_chunk 6"}),
     ("b16", {"LLT2I_BENCH_ARGS": "--batch 16 --vae_chunk 8"}),
+    # encoder propagation (APPROXIMATE — separate PERF.md line, never the
+    # headline default; arXiv:2312.09608): encoder every 2nd / 3rd step
+    ("enc2", {"LLT2I_BENCH_ARGS": "--cache_encoder 2"}),
+    ("enc3", {"LLT2I_BENCH_ARGS": "--cache_encoder 3"}),
 ]
 
 
