@@ -50,6 +50,11 @@ def main():
                          "run the UNet encoder every Nth step, reuse cached "
                          "skips in between. APPROXIMATE (not bit-exact); "
                          "0/1 = exact default")
+    ap.add_argument("--cfg_interval", type=str, default=None,
+                    help="LO,HI step fractions where CFG applies "
+                         "(arXiv:2404.07724); outside, cond-only at half "
+                         "the batch — exact FLOP cut, published quality "
+                         "GAIN. e.g. 0.0,0.75")
     ap.add_argument("--sharded", action="store_true",
                     help="shard the prompt batch over ALL local devices "
                          "(prompt-DP, params replicated) — the multi-chip "
@@ -103,7 +108,10 @@ def main():
     pipe = InferencePipeline(models, steps=args.steps, sampler="plms",
                              guidance_scale=args.guidance, alpha_type=(0.3, 0.0, 0.7),
                              vae_chunk=args.vae_chunk or None,
-                             encoder_cache_interval=args.cache_encoder)
+                             encoder_cache_interval=args.cache_encoder,
+                             cfg_interval=(tuple(float(v) for v in
+                                           args.cfg_interval.split(","))
+                                           if args.cfg_interval else None))
 
     if args.latency:
         args.batch = 1

@@ -64,6 +64,13 @@ def parse_args(argv=None):
                    help="'x,y;x,y;...' normalized, 17 per person, persons "
                         "separated by '|'")
     p.add_argument("--small", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="weight-only int8 UNet (ops/quant.py)")
+    p.add_argument("--cache_encoder", type=int, default=0,
+                   help="encoder propagation interval (arXiv:2312.09608)")
+    p.add_argument("--cfg_interval", type=str, default=None,
+                   help="LO,HI step fractions where CFG applies "
+                        "(arXiv:2404.07724), e.g. 0.0,0.75")
     return p.parse_args(argv)
 
 
@@ -193,10 +200,18 @@ def main(argv=None):
     steps = 250 if args.no_plms else 50
     if args.small:
         steps = min(steps, 8)
+    if args.int8:
+        from ..pipeline.loaders import quantize_unet_int8
+
+        models = quantize_unet_int8(models)
     pipe = InferencePipeline(models, steps=steps,
                              sampler="ddim" if args.no_plms else "plms",
                              guidance_scale=args.guidance_scale,
-                             alpha_type=tuple(args.alpha))
+                             alpha_type=tuple(args.alpha),
+                             encoder_cache_interval=args.cache_encoder,
+                             cfg_interval=(tuple(float(v) for v in
+                                           args.cfg_interval.split(","))
+                                           if args.cfg_interval else None))
 
     prompts = [args.prompt] * args.batch_size
     layouts = [(boxes_ltrb, cats)] * args.batch_size

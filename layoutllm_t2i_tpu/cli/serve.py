@@ -60,6 +60,9 @@ def main(argv=None):
     ap.add_argument("--cache_encoder", type=int, default=0,
                     help="encoder propagation interval (approximate speed "
                          "mode, arXiv:2312.09608; 0/1 = exact)")
+    ap.add_argument("--cfg_interval", type=str, default=None,
+                    help="LO,HI step fractions where CFG applies "
+                         "(arXiv:2404.07724), e.g. 0.0,0.75")
     args = ap.parse_args(argv)
 
     from ..pipeline.inference import InferencePipeline
@@ -79,7 +82,10 @@ def main(argv=None):
     steps = args.steps or (8 if args.small else 50)
     pipe = InferencePipeline(models, steps=steps,
                              guidance_scale=args.guidance_scale,
-                             encoder_cache_interval=args.cache_encoder)
+                             encoder_cache_interval=args.cache_encoder,
+                             cfg_interval=(tuple(float(v) for v in
+                                           args.cfg_interval.split(","))
+                                           if args.cfg_interval else None))
     if args.tp:
         from ..parallel.tp import tp_mesh
 

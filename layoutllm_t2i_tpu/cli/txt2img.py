@@ -66,6 +66,9 @@ def parse_args(argv=None):
     p.add_argument("--cache_encoder", type=int, default=0,
                    help="encoder propagation interval (approximate speed "
                         "mode, arXiv:2312.09608; 0/1 = exact)")
+    p.add_argument("--cfg_interval", type=str, default=None,
+                   help="LO,HI step fractions where CFG applies "
+                        "(arXiv:2404.07724), e.g. 0.0,0.75")
     return p.parse_args(argv)
 
 
@@ -155,7 +158,12 @@ def _get_pipe(args) -> InferencePipeline:
                                   guidance_scale=args.guidance_scale,
                                   alpha_type=(0.3, 0.0, 0.7),
                                   encoder_cache_interval=getattr(
-                                      args, "cache_encoder", 0))
+                                      args, "cache_encoder", 0),
+                                  cfg_interval=(tuple(
+                                      float(v) for v in
+                                      args.cfg_interval.split(","))
+                                      if getattr(args, "cfg_interval", None)
+                                      else None))
     return _PIPE
 
 

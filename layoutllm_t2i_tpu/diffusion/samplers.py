@@ -108,24 +108,28 @@ def _schedule_device(schedule: DDPMSchedule):
     }
 
 
-def _alpha_segments(tables: StepTables, denoise_skip_fn):
-    """Split the step range into runs of constant (fuser_scale == 0).
+def _alpha_segments(tables: StepTables, denoise_skip_fn, cfg_on=None):
+    """Split the step range into runs of constant (fuser_scale == 0, cfg_on).
 
     The grounding alpha table is a trace-time constant (alpha_generator:
     grounded for the leading stage, plain SD after), so the steps where the
     gated fusers contribute exactly 0 are statically known; running those in
     their own scan with a reduced UNet body elides the fuser attention + FF
-    bit-exactly. With no skip variant (or no zero steps) this is one segment
-    and the compiled program is unchanged."""
+    bit-exactly. ``cfg_on`` (guidance-interval mode, arXiv:2404.07724) adds
+    a second static predicate: segments with cfg_on == False run a
+    single-batch cond-only denoise variant at half the CFG batch. With no
+    skip variant and no interval this is one segment and the compiled
+    program is unchanged. Returns (start, end, is_zero, is_cfg) tuples."""
     steps = int(tables.t.shape[0])
-    if denoise_skip_fn is None:
-        return [(0, steps, False)]
-    zero = np.asarray(tables.fuser_scale) == 0
+    zero = (np.asarray(tables.fuser_scale) == 0 if denoise_skip_fn is not None
+            else np.zeros(steps, dtype=bool))
+    con = (np.ones(steps, dtype=bool) if cfg_on is None
+           else np.asarray(cfg_on, dtype=bool))
     segs = []
     start = 0
     for i in range(1, steps + 1):
-        if i == steps or zero[i] != zero[start]:
-            segs.append((start, i, bool(zero[start])))
+        if i == steps or (zero[i], con[i]) != (zero[start], con[start]):
+            segs.append((start, i, bool(zero[start]), bool(con[start])))
             start = i
     return segs
 
@@ -140,6 +144,9 @@ def plms_sample(
     denoise_skip_fn=None,
     cache_init=None,
     key_steps=None,
+    denoise_nocfg_fn=None,
+    denoise_nocfg_skip_fn=None,
+    cfg_on=None,
 ):
     """PLMS (pseudo linear multistep, AB up to 4th order) sampling.
 
@@ -157,11 +164,18 @@ def plms_sample(
     the denoise fns are called with the carried encoder cache and skip the
     UNet encoder. In this mode both denoise fns must accept
     ``cache=..., is_key=...`` and return ``(eps, new_cache)``.
+
+    denoise_nocfg_fn/denoise_nocfg_skip_fn/cfg_on: guidance-interval mode
+    (arXiv:2404.07724) — steps with cfg_on == False run the cond-only
+    variants (half the CFG batch). Mutually exclusive with the encoder
+    cache (the cache batch dim would change across segments).
     """
     steps = int(tables.t.shape[0])
     b = x_init.shape[0]
     sched_dev = _schedule_device(schedule) if schedule is not None else None
     cached_mode = cache_init is not None
+    assert not (cached_mode and denoise_nocfg_fn is not None), (
+        "encoder cache and guidance interval cannot combine")
 
     def blend(x, t, rng_step):
         if inpaint is None:
@@ -244,8 +258,12 @@ def plms_sample(
         carry = (x_init, hist0, count0, cache_init)
     else:
         carry = (x_init, hist0, count0)
-    for a, end, is_zero in _alpha_segments(tables, denoise_skip_fn):
-        dn = denoise_skip_fn if is_zero else denoise_fn
+    for a, end, is_zero, is_cfg in _alpha_segments(tables, denoise_skip_fn,
+                                                   cfg_on):
+        if is_cfg or denoise_nocfg_fn is None:
+            dn = denoise_skip_fn if is_zero else denoise_fn
+        else:
+            dn = denoise_nocfg_skip_fn if is_zero else denoise_nocfg_fn
         carry, _ = jax.lax.scan(make_body(dn, allow_warm=(a == 0)), carry,
                                 tuple(v[a:end] for v in xs))
     return carry[0]
@@ -261,12 +279,16 @@ def ddim_sample(
     denoise_skip_fn=None,
     cache_init=None,
     key_steps=None,
+    denoise_nocfg_fn=None,
+    denoise_nocfg_skip_fn=None,
+    cfg_on=None,
 ):
     """DDIM sampling (ddim.py:65-135); eta>0 adds sigma-scaled noise.
 
     denoise_skip_fn: as in plms_sample — gated-fuser-free variant for the
     statically known fuser_scale == 0 steps.
-    cache_init/key_steps: encoder-propagation mode, see plms_sample."""
+    cache_init/key_steps: encoder-propagation mode, see plms_sample.
+    denoise_nocfg_*/cfg_on: guidance-interval mode, see plms_sample."""
     steps = int(tables.t.shape[0])
     b = x_init.shape[0]
     sched_dev = _schedule_device(schedule) if schedule is not None else None
@@ -274,6 +296,8 @@ def ddim_sample(
     rngs = jax.random.split(rng, steps)
     stochastic = bool(np.any(np.asarray(tables.sigma) > 0))
     cached_mode = cache_init is not None
+    assert not (cached_mode and denoise_nocfg_fn is not None), (
+        "encoder cache and guidance interval cannot combine")
 
     def make_body(dn):
         def body(carry, inp):
@@ -312,8 +336,12 @@ def ddim_sample(
         carry = (x_init, cache_init)
     else:
         carry = x_init
-    for a, end, is_zero in _alpha_segments(tables, denoise_skip_fn):
-        dn = denoise_skip_fn if is_zero else denoise_fn
+    for a, end, is_zero, is_cfg in _alpha_segments(tables, denoise_skip_fn,
+                                                   cfg_on):
+        if is_cfg or denoise_nocfg_fn is None:
+            dn = denoise_skip_fn if is_zero else denoise_fn
+        else:
+            dn = denoise_nocfg_skip_fn if is_zero else denoise_nocfg_fn
         carry, _ = jax.lax.scan(make_body(dn), carry,
                                 tuple(v[a:end] for v in xs))
     return carry[0] if cached_mode else carry

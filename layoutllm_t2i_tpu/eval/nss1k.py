@@ -244,6 +244,14 @@ def main(argv=None):
                     help="shard each generation batch over ALL devices "
                          "(prompt-DP; --batch_size must divide the device "
                          "count times an integer per-chip batch)")
+    ap.add_argument("--cfg_interval", type=str, default=None,
+                    help="LO,HI step fractions where CFG applies "
+                         "(arXiv:2404.07724) — lets the quality gate score "
+                         "the guidance-interval speed mode with real "
+                         "weights")
+    ap.add_argument("--cache_encoder", type=int, default=0,
+                    help="encoder propagation interval (arXiv:2312.09608) — "
+                         "quality-gate the approximate speed mode")
     args = ap.parse_args(argv)
     assert args.data_path or args.data_dir, "need --data_path or --data_dir"
 
@@ -256,7 +264,11 @@ def main(argv=None):
     models = (load_models_from_gligen_ckpt(args.diff_ckpt) if args.diff_ckpt
               else random_models(small=args.small))
     pipe = InferencePipeline(models, steps=args.steps, sampler="plms",
-                             guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7))
+                             guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7),
+                             encoder_cache_interval=args.cache_encoder,
+                             cfg_interval=(tuple(float(v) for v in
+                                           args.cfg_interval.split(","))
+                                           if args.cfg_interval else None))
     reward_args = argparse.Namespace(small=args.small, clip_ckpt=args.clip_ckpt,
                                      aesthetic_ckpt=args.aesthetic_ckpt)
     reward = build_reward(reward_args)

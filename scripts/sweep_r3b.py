@@ -43,6 +43,9 @@ VARIANTS = [
     # headline default; arXiv:2312.09608): encoder every 2nd / 3rd step
     ("enc2", {"LLT2I_BENCH_ARGS": "--cache_encoder 2"}),
     ("enc3", {"LLT2I_BENCH_ARGS": "--cache_encoder 3"}),
+    # guidance interval (EXACT flop cut + published FID gain,
+    # arXiv:2404.07724): CFG on the first 75% of steps only
+    ("cfg75", {"LLT2I_BENCH_ARGS": "--cfg_interval 0.0,0.75"}),
 ]
 
 
