@@ -26,6 +26,12 @@ def main():
     # b=16 crashes the v5e worker in the UNet b=32 path — see PERF.md)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sampler", type=str, default="plms",
+                    choices=["plms", "ddim", "dpm"],
+                    help="dpm = DPM-Solver++(2M) (arXiv:2211.01095): "
+                         "PLMS-50-class quality at ~20 steps — pair with "
+                         "--steps 20 for the few-step serving config "
+                         "(separate PERF line; headline stays PLMS-50)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--small", action="store_true", help="tiny model for CPU smoke")
     ap.add_argument("--guidance", type=float, default=7.5)
@@ -105,7 +111,7 @@ def main():
         from layoutllm_t2i_tpu.pipeline.loaders import quantize_unet_int8
 
         models = quantize_unet_int8(models)
-    pipe = InferencePipeline(models, steps=args.steps, sampler="plms",
+    pipe = InferencePipeline(models, steps=args.steps, sampler=args.sampler,
                              guidance_scale=args.guidance, alpha_type=(0.3, 0.0, 0.7),
                              vae_chunk=args.vae_chunk or None,
                              encoder_cache_interval=args.cache_encoder,

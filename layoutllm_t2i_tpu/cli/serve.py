@@ -46,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--max_delay_ms", type=float, default=80.0)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--sampler", type=str, default="plms",
+                    choices=["plms", "ddim", "dpm"],
+                    help="dpm = DPM-Solver++(2M): PLMS-50-class quality at "
+                         "~20 steps (pair with --steps 20)")
     ap.add_argument("--guidance_scale", type=float, default=7.5)
     ap.add_argument("--no_warmup", action="store_true")
     ap.add_argument("--tp", action="store_true",
@@ -80,7 +84,7 @@ def main(argv=None):
 
         models = quantize_unet_int8(models)
     steps = args.steps or (8 if args.small else 50)
-    pipe = InferencePipeline(models, steps=steps,
+    pipe = InferencePipeline(models, steps=steps, sampler=args.sampler,
                              guidance_scale=args.guidance_scale,
                              encoder_cache_interval=args.cache_encoder,
                              cfg_interval=(tuple(float(v) for v in

@@ -33,6 +33,12 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--num_per_prompt", type=int, default=5)
     p.add_argument("--no_plms", action="store_true", help="use DDIM-250 instead")
+    p.add_argument("--sampler", type=str, default=None,
+                   choices=["plms", "ddim", "dpm"],
+                   help="override the sampler (dpm = DPM-Solver++(2M), "
+                        "pair with --sample_steps)")
+    p.add_argument("--sample_steps", type=int, default=None,
+                   help="override the step count (e.g. 20 with --sampler dpm)")
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--in_dim", type=int, default=768)
@@ -154,6 +160,10 @@ def _get_pipe(args) -> InferencePipeline:
             models = quantize_unet_int8(models)
         steps = 250 if args.no_plms else 50
         sampler = "ddim" if args.no_plms else "plms"
+        if getattr(args, "sampler", None):
+            sampler = args.sampler
+        if getattr(args, "sample_steps", None):
+            steps = args.sample_steps
         _PIPE = InferencePipeline(models, steps=steps, sampler=sampler,
                                   guidance_scale=args.guidance_scale,
                                   alpha_type=(0.3, 0.0, 0.7),

@@ -345,3 +345,112 @@ def ddim_sample(
         carry, _ = jax.lax.scan(make_body(dn), carry,
                                 tuple(v[a:end] for v in xs))
     return carry[0] if cached_mode else carry
+
+
+def dpm_sample(
+    denoise_fn,
+    tables: StepTables,
+    x_init: jnp.ndarray,
+    schedule: Optional[DDPMSchedule] = None,
+    inpaint: Optional[InpaintBlend] = None,
+    rng: Optional[jax.Array] = None,
+    denoise_skip_fn=None,
+    cache_init=None,
+    key_steps=None,
+    denoise_nocfg_fn=None,
+    denoise_nocfg_skip_fn=None,
+    cfg_on=None,
+):
+    """DPM-Solver++(2M) (Lu et al., arXiv:2211.01095), data-prediction
+    multistep form — a 2nd-order ODE solver in log-SNR time that reaches
+    PLMS-50-class sample quality in ~15-25 steps. No reference counterpart
+    (GLIGEN ships PLMS/DDIM only, plms.py/ddim.py); deterministic (no
+    per-step noise). Supports the same static machinery as plms_sample:
+    skip-gated alpha segments, guidance-interval segments, and the encoder
+    cache carry.
+
+    Update (x0-prediction): with alpha=sqrt(a), sigma=sqrt(1-a),
+    lambda=log(alpha/sigma), h = lambda_prev - lambda_t:
+      x0_t   = (x - sigma_t * eps) / alpha_t
+      D      = x0_t                                  (first step)
+             = (1 + 1/(2r)) x0_t - 1/(2r) x0_{t-1},  r = h_{t-1}/h
+      x_prev = (sigma_prev/sigma_t) x - alpha_prev * expm1(-h) * D
+    """
+    steps = int(tables.t.shape[0])
+    b = x_init.shape[0]
+    sched_dev = _schedule_device(schedule) if schedule is not None else None
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    rngs = jax.random.split(rng, steps)
+    cached_mode = cache_init is not None
+    assert not (cached_mode and denoise_nocfg_fn is not None), (
+        "encoder cache and guidance interval cannot combine")
+
+    # per-step log-SNR tables (f32 numpy -> device constants)
+    a_t = np.asarray(tables.a_t, dtype=np.float64)
+    a_prev = np.asarray(tables.a_prev, dtype=np.float64)
+    lam_t = 0.5 * np.log(a_t / (1.0 - a_t))
+    lam_p = 0.5 * np.log(a_prev / np.maximum(1.0 - a_prev, 1e-12))
+    f32 = lambda v: jnp.asarray(np.asarray(v, dtype=np.float32))
+
+    def make_body(dn, allow_warm: bool):
+        def body(carry, inp):
+            if cached_mode:
+                x, x0_prev, lam_last, count, cache = carry
+                (t, at, ap, lt, lp, fscale, use_sd, rng_step, is_key) = inp
+            else:
+                x, x0_prev, lam_last, count = carry
+                (t, at, ap, lt, lp, fscale, use_sd, rng_step) = inp
+            if inpaint is not None:
+                img_orig = _q_sample(sched_dev, inpaint.z0, jnp.full((b,), t),
+                                     rng_step)
+                x = img_orig * inpaint.mask + (1.0 - inpaint.mask) * x
+            tv = jnp.full((b,), t)
+            if cached_mode:
+                e_t, cache = dn(x, tv, fscale, use_sd, cache=cache,
+                                is_key=is_key)
+            else:
+                e_t = dn(x, tv, fscale, use_sd)
+            alpha_t, sigma_t = jnp.sqrt(at), jnp.sqrt(1.0 - at)
+            alpha_p, sigma_p = jnp.sqrt(ap), jnp.sqrt(
+                jnp.maximum(1.0 - ap, 0.0))
+            x0 = (x - sigma_t * e_t) / alpha_t
+            h = lp - lt
+            h_last = lt - lam_last
+
+            def second(_):
+                # 1/(2r) = h/(2*h_last); degenerate h_last (duplicated
+                # timesteps at very fine discretizations) falls back to
+                # first order instead of 0/0 -> NaN
+                c = jnp.where(h_last > 1e-8,
+                              h / (2.0 * jnp.maximum(h_last, 1e-8)), 0.0)
+                return (1.0 + c) * x0 - c * x0_prev
+
+            if allow_warm:
+                d = jax.lax.cond(count == 0, lambda _: x0, second, None)
+            else:
+                d = second(None)
+            x_new = (sigma_p / sigma_t) * x - alpha_p * jnp.expm1(-h) * d
+            new_carry = (x_new, x0, lt, count + 1)
+            if cached_mode:
+                new_carry = new_carry + (cache,)
+            return new_carry, None
+        return body
+
+    xs = (tables.t, f32(a_t), f32(a_prev), f32(lam_t), f32(lam_p),
+          tables.fuser_scale, tables.use_sd_conv, rngs)
+    if cached_mode:
+        xs = xs + (jnp.asarray(np.asarray(key_steps, dtype=bool)),)
+        carry = (x_init, jnp.zeros_like(x_init), jnp.float32(0.0),
+                 jnp.asarray(0, jnp.int32), cache_init)
+    else:
+        carry = (x_init, jnp.zeros_like(x_init), jnp.float32(0.0),
+                 jnp.asarray(0, jnp.int32))
+    for a, end, is_zero, is_cfg in _alpha_segments(tables, denoise_skip_fn,
+                                                   cfg_on):
+        if is_cfg or denoise_nocfg_fn is None:
+            dn = denoise_skip_fn if is_zero else denoise_fn
+        else:
+            dn = denoise_nocfg_skip_fn if is_zero else denoise_nocfg_fn
+        carry, _ = jax.lax.scan(make_body(dn, allow_warm=(a == 0)), carry,
+                                tuple(v[a:end] for v in xs))
+    return carry[0]

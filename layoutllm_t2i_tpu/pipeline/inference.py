@@ -331,7 +331,10 @@ class InferencePipeline:
             return denoise_core(unet_params, sd_conv, cond, x, t, fscale,
                                 use_sd, skip_gated=True, **kw)
 
-        sample = plms_sample if self.sampler == "plms" else ddim_sample
+        from ..diffusion.samplers import dpm_sample
+
+        sample = {"plms": plms_sample, "ddim": ddim_sample,
+                  "dpm": dpm_sample}[self.sampler]
         inpaint = None
         if cond.get("inpaint_mask") is not None:
             from ..diffusion.samplers import InpaintBlend

@@ -46,6 +46,9 @@ VARIANTS = [
     # guidance interval (EXACT flop cut + published FID gain,
     # arXiv:2404.07724): CFG on the first 75% of steps only
     ("cfg75", {"LLT2I_BENCH_ARGS": "--cfg_interval 0.0,0.75"}),
+    # DPM-Solver++(2M) few-step serving config (PLMS-50-class quality at
+    # 20 steps per arXiv:2211.01095; separate PERF line, not headline)
+    ("dpm20", {"LLT2I_BENCH_ARGS": "--sampler dpm --steps 20"}),
 ]
 
 
