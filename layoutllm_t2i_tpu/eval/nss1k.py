@@ -252,6 +252,13 @@ def main(argv=None):
     ap.add_argument("--cache_encoder", type=int, default=0,
                     help="encoder propagation interval (arXiv:2312.09608) — "
                          "quality-gate the approximate speed mode")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 UNet (ops/quant.py) — "
+                         "quality-gate the quantized serving mode")
+    ap.add_argument("--sampler", type=str, default="plms",
+                    choices=["plms", "ddim", "dpm"],
+                    help="dpm + --steps 20: quality-gate the few-step "
+                         "serving config (arXiv:2211.01095)")
     args = ap.parse_args(argv)
     assert args.data_path or args.data_dir, "need --data_path or --data_dir"
 
@@ -263,7 +270,11 @@ def main(argv=None):
 
     models = (load_models_from_gligen_ckpt(args.diff_ckpt) if args.diff_ckpt
               else random_models(small=args.small))
-    pipe = InferencePipeline(models, steps=args.steps, sampler="plms",
+    if args.int8:
+        from ..pipeline.loaders import quantize_unet_int8
+
+        models = quantize_unet_int8(models)
+    pipe = InferencePipeline(models, steps=args.steps, sampler=args.sampler,
                              guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7),
                              encoder_cache_interval=args.cache_encoder,
                              cfg_interval=(tuple(float(v) for v in
