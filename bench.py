@@ -60,7 +60,7 @@ def main():
                     help="LO,HI step fractions where CFG applies "
                          "(arXiv:2404.07724); outside, cond-only at half "
                          "the batch — exact FLOP cut, published quality "
-                         "GAIN. e.g. 0.0,0.75")
+                         "GAIN. e.g. 0.1,0.85 (paper-faithful: high-noise steps off)")
     ap.add_argument("--sharded", action="store_true",
                     help="shard the prompt batch over ALL local devices "
                          "(prompt-DP, params replicated) — the multi-chip "
@@ -77,7 +77,8 @@ def main():
     from layoutllm_t2i_tpu.models.clip_text import CLIPTextConfig, init_clip_text_params
     from layoutllm_t2i_tpu.models.clip_tokenizer import HashTokenizer
     from layoutllm_t2i_tpu.ops.schedules import make_ddpm_schedule
-    from layoutllm_t2i_tpu.pipeline.inference import GligenModels, InferencePipeline
+    from layoutllm_t2i_tpu.pipeline.inference import (
+        GligenModels, InferencePipeline, parse_cfg_interval)
     from layoutllm_t2i_tpu.utils.trees import jitted_init
 
     on_tpu = jax.default_backend() == "tpu"
@@ -115,9 +116,7 @@ def main():
                              guidance_scale=args.guidance, alpha_type=(0.3, 0.0, 0.7),
                              vae_chunk=args.vae_chunk or None,
                              encoder_cache_interval=args.cache_encoder,
-                             cfg_interval=(tuple(float(v) for v in
-                                           args.cfg_interval.split(","))
-                                           if args.cfg_interval else None))
+                             cfg_interval=parse_cfg_interval(getattr(args, "cfg_interval", None)))
 
     if args.latency:
         args.batch = 1

@@ -22,7 +22,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..pipeline.inference import InferencePipeline, convert_xywh_to_ltrb, images_to_uint8
+from ..pipeline.inference import (
+    InferencePipeline, convert_xywh_to_ltrb, images_to_uint8,
+    parse_cfg_interval)
 from ..pipeline.loaders import load_models_from_gligen_ckpt, random_models
 from ..pipeline.planner import extract_prediction
 from ..pipeline.inpaint import draw_masks_from_boxes
@@ -70,7 +72,7 @@ def parse_args(argv=None):
                    help="encoder propagation interval (arXiv:2312.09608)")
     p.add_argument("--cfg_interval", type=str, default=None,
                    help="LO,HI step fractions where CFG applies "
-                        "(arXiv:2404.07724), e.g. 0.0,0.75")
+                        "(arXiv:2404.07724), e.g. 0.1,0.85 (paper-faithful: high-noise steps off)")
     return p.parse_args(argv)
 
 
@@ -209,9 +211,7 @@ def main(argv=None):
                              guidance_scale=args.guidance_scale,
                              alpha_type=tuple(args.alpha),
                              encoder_cache_interval=args.cache_encoder,
-                             cfg_interval=(tuple(float(v) for v in
-                                           args.cfg_interval.split(","))
-                                           if args.cfg_interval else None))
+                             cfg_interval=parse_cfg_interval(getattr(args, "cfg_interval", None)))
 
     prompts = [args.prompt] * args.batch_size
     layouts = [(boxes_ltrb, cats)] * args.batch_size

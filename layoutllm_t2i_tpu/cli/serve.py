@@ -66,10 +66,10 @@ def main(argv=None):
                          "mode, arXiv:2312.09608; 0/1 = exact)")
     ap.add_argument("--cfg_interval", type=str, default=None,
                     help="LO,HI step fractions where CFG applies "
-                         "(arXiv:2404.07724), e.g. 0.0,0.75")
+                         "(arXiv:2404.07724), e.g. 0.1,0.85 (paper-faithful: high-noise steps off)")
     args = ap.parse_args(argv)
 
-    from ..pipeline.inference import InferencePipeline
+    from ..pipeline.inference import InferencePipeline, parse_cfg_interval
     from ..pipeline.loaders import load_models_from_gligen_ckpt, random_models
     from ..serving.server import GenerationServer
 
@@ -87,9 +87,7 @@ def main(argv=None):
     pipe = InferencePipeline(models, steps=steps, sampler=args.sampler,
                              guidance_scale=args.guidance_scale,
                              encoder_cache_interval=args.cache_encoder,
-                             cfg_interval=(tuple(float(v) for v in
-                                           args.cfg_interval.split(","))
-                                           if args.cfg_interval else None))
+                             cfg_interval=parse_cfg_interval(getattr(args, "cfg_interval", None)))
     if args.tp:
         from ..parallel.tp import tp_mesh
 

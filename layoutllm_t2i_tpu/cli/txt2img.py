@@ -18,7 +18,9 @@ import jax
 
 from ..data.rl_data import load_json
 from ..models.policy import init_policy_params
-from ..pipeline.inference import InferencePipeline, convert_xywh_to_ltrb, images_to_uint8
+from ..pipeline.inference import (
+    InferencePipeline, convert_xywh_to_ltrb, images_to_uint8,
+    parse_cfg_interval)
 from ..pipeline.loaders import load_models_from_gligen_ckpt, random_models
 from ..pipeline.planner import (
     CachedLayoutLLM, LLMClient, build_prompt, extract_prediction, select_topk_shots,
@@ -74,7 +76,7 @@ def parse_args(argv=None):
                         "mode, arXiv:2312.09608; 0/1 = exact)")
     p.add_argument("--cfg_interval", type=str, default=None,
                    help="LO,HI step fractions where CFG applies "
-                        "(arXiv:2404.07724), e.g. 0.0,0.75")
+                        "(arXiv:2404.07724), e.g. 0.1,0.85 (paper-faithful: high-noise steps off)")
     return p.parse_args(argv)
 
 
@@ -169,11 +171,7 @@ def _get_pipe(args) -> InferencePipeline:
                                   alpha_type=(0.3, 0.0, 0.7),
                                   encoder_cache_interval=getattr(
                                       args, "cache_encoder", 0),
-                                  cfg_interval=(tuple(
-                                      float(v) for v in
-                                      args.cfg_interval.split(","))
-                                      if getattr(args, "cfg_interval", None)
-                                      else None))
+                                  cfg_interval=parse_cfg_interval(getattr(args, "cfg_interval", None)))
     return _PIPE
 
 

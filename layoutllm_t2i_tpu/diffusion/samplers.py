@@ -134,6 +134,17 @@ def _alpha_segments(tables: StepTables, denoise_skip_fn, cfg_on=None):
     return segs
 
 
+def _segment_denoisers(denoise_fn, denoise_skip_fn, denoise_nocfg_fn,
+                       denoise_nocfg_skip_fn):
+    """(is_zero, is_cfg) -> denoise fn, shared by all three samplers so the
+    segment semantics cannot drift between them."""
+    def pick(is_zero: bool, is_cfg: bool):
+        if is_cfg or denoise_nocfg_fn is None:
+            return denoise_skip_fn if is_zero else denoise_fn
+        return denoise_nocfg_skip_fn if is_zero else denoise_nocfg_fn
+    return pick
+
+
 def plms_sample(
     denoise_fn,
     tables: StepTables,
@@ -258,14 +269,13 @@ def plms_sample(
         carry = (x_init, hist0, count0, cache_init)
     else:
         carry = (x_init, hist0, count0)
+    pick = _segment_denoisers(denoise_fn, denoise_skip_fn, denoise_nocfg_fn,
+                              denoise_nocfg_skip_fn)
     for a, end, is_zero, is_cfg in _alpha_segments(tables, denoise_skip_fn,
                                                    cfg_on):
-        if is_cfg or denoise_nocfg_fn is None:
-            dn = denoise_skip_fn if is_zero else denoise_fn
-        else:
-            dn = denoise_nocfg_skip_fn if is_zero else denoise_nocfg_fn
-        carry, _ = jax.lax.scan(make_body(dn, allow_warm=(a == 0)), carry,
-                                tuple(v[a:end] for v in xs))
+        carry, _ = jax.lax.scan(
+            make_body(pick(is_zero, is_cfg), allow_warm=(a == 0)), carry,
+            tuple(v[a:end] for v in xs))
     return carry[0]
 
 
@@ -336,13 +346,11 @@ def ddim_sample(
         carry = (x_init, cache_init)
     else:
         carry = x_init
+    pick = _segment_denoisers(denoise_fn, denoise_skip_fn, denoise_nocfg_fn,
+                              denoise_nocfg_skip_fn)
     for a, end, is_zero, is_cfg in _alpha_segments(tables, denoise_skip_fn,
                                                    cfg_on):
-        if is_cfg or denoise_nocfg_fn is None:
-            dn = denoise_skip_fn if is_zero else denoise_fn
-        else:
-            dn = denoise_nocfg_skip_fn if is_zero else denoise_nocfg_fn
-        carry, _ = jax.lax.scan(make_body(dn), carry,
+        carry, _ = jax.lax.scan(make_body(pick(is_zero, is_cfg)), carry,
                                 tuple(v[a:end] for v in xs))
     return carry[0] if cached_mode else carry
 
@@ -384,6 +392,11 @@ def dpm_sample(
     cached_mode = cache_init is not None
     assert not (cached_mode and denoise_nocfg_fn is not None), (
         "encoder cache and guidance interval cannot combine")
+    if bool(np.any(np.asarray(tables.sigma) > 0)):
+        raise ValueError(
+            "dpm_sample is a deterministic ODE solver: eta>0 step tables "
+            "are unsupported (the sigma noise would be silently dropped) — "
+            "use ddim_sample for stochastic sampling")
 
     # per-step log-SNR tables (f32 numpy -> device constants)
     a_t = np.asarray(tables.a_t, dtype=np.float64)
@@ -445,12 +458,11 @@ def dpm_sample(
     else:
         carry = (x_init, jnp.zeros_like(x_init), jnp.float32(0.0),
                  jnp.asarray(0, jnp.int32))
+    pick = _segment_denoisers(denoise_fn, denoise_skip_fn, denoise_nocfg_fn,
+                              denoise_nocfg_skip_fn)
     for a, end, is_zero, is_cfg in _alpha_segments(tables, denoise_skip_fn,
                                                    cfg_on):
-        if is_cfg or denoise_nocfg_fn is None:
-            dn = denoise_skip_fn if is_zero else denoise_fn
-        else:
-            dn = denoise_nocfg_skip_fn if is_zero else denoise_nocfg_fn
-        carry, _ = jax.lax.scan(make_body(dn, allow_warm=(a == 0)), carry,
-                                tuple(v[a:end] for v in xs))
+        carry, _ = jax.lax.scan(
+            make_body(pick(is_zero, is_cfg), allow_warm=(a == 0)), carry,
+            tuple(v[a:end] for v in xs))
     return carry[0]

@@ -265,7 +265,7 @@ def main(argv=None):
     import jax
 
     from ..cli.train_rl import build_reward
-    from ..pipeline.inference import InferencePipeline
+    from ..pipeline.inference import InferencePipeline, parse_cfg_interval
     from ..pipeline.loaders import load_models_from_gligen_ckpt, random_models
 
     models = (load_models_from_gligen_ckpt(args.diff_ckpt) if args.diff_ckpt
@@ -277,9 +277,7 @@ def main(argv=None):
     pipe = InferencePipeline(models, steps=args.steps, sampler=args.sampler,
                              guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7),
                              encoder_cache_interval=args.cache_encoder,
-                             cfg_interval=(tuple(float(v) for v in
-                                           args.cfg_interval.split(","))
-                                           if args.cfg_interval else None))
+                             cfg_interval=parse_cfg_interval(getattr(args, "cfg_interval", None)))
     reward_args = argparse.Namespace(small=args.small, clip_ckpt=args.clip_ckpt,
                                      aesthetic_ckpt=args.aesthetic_ckpt)
     reward = build_reward(reward_args)

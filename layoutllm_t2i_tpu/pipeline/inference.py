@@ -106,6 +106,31 @@ def precompute_grounding_tokens(models: GligenModels, unet_params, cond,
     return jnp.concatenate([objs_c, objs_u])
 
 
+def parse_cfg_interval(spec) -> Optional[Tuple[float, float]]:
+    """Parse/validate a guidance interval: "LO,HI" string or a 2-sequence of
+    step fractions, 0 <= LO < HI. Shared by every CLI so the validation
+    lives in one place; returns None for empty/None.
+
+    NOTE (arXiv:2404.07724): the paper's FID gain comes from disabling CFG
+    at the HIGHEST noise levels — i.e. LO > 0 (early steps off), not just
+    trimming the low-noise tail. Tune on the quality gate (eval/nss1k)."""
+    if spec is None or spec == "":
+        return None
+    parts = spec.split(",") if isinstance(spec, str) else list(spec)
+    try:
+        vals = tuple(float(v) for v in parts)
+    except (TypeError, ValueError):
+        raise ValueError(f"cfg_interval: want 'LO,HI' fractions, got {spec!r}")
+    if len(vals) != 2:
+        raise ValueError(f"cfg_interval: want exactly 2 values, got {spec!r}")
+    lo, hi = vals
+    if not (0.0 <= lo < hi):
+        raise ValueError(
+            f"cfg_interval: need 0 <= LO < HI (got {lo}, {hi}); a reversed "
+            "interval would silently disable guidance everywhere")
+    return vals
+
+
 def make_cfg_denoiser(
     models: GligenModels,
     guidance_scale: float,
@@ -245,7 +270,7 @@ class InferencePipeline:
         # paper reports FID *improves* when guidance is confined to the
         # middle noise levels). None = CFG on every step (reference
         # behavior, plms.py:115-124).
-        self.cfg_interval = tuple(cfg_interval) if cfg_interval else None
+        self.cfg_interval = parse_cfg_interval(cfg_interval)
         if self.cfg_interval and self.encoder_cache_interval:
             raise ValueError(
                 "encoder_cache_interval and cfg_interval cannot combine: the "
@@ -340,7 +365,7 @@ class InferencePipeline:
             from ..diffusion.samplers import InpaintBlend
 
             inpaint = InpaintBlend(mask=cond["inpaint_mask"], z0=cond["inpaint_z0"])
-        cache_kw = {}
+        cache_kw: dict = {}
         if self.cfg_interval and self.guidance_scale != 1.0:
             nc_core = make_cfg_denoiser(self.models, self.guidance_scale,
                                         self.attn_impl, cfg_override=False)
@@ -361,11 +386,15 @@ class InferencePipeline:
             cache_shapes = jax.eval_shape(
                 lambda nz: denoise(nz, t0, 1.0, False, cache="init",
                                    is_key=True)[1], noise)
-            cache_kw = {
-                "cache_init": jax.tree_util.tree_map(
+            # update, not replace: if the __init__ exclusivity guard is ever
+            # relaxed, dropping the cfg_interval kwargs here would be silent
+            assert "cfg_on" not in cache_kw, (
+                "encoder cache and guidance interval cannot combine")
+            cache_kw.update(
+                cache_init=jax.tree_util.tree_map(
                     lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes),
-                "key_steps": self._key_steps(),
-            }
+                key_steps=self._key_steps(),
+            )
         z = sample(denoise, self.tables, noise, schedule=self.models.schedule,
                    inpaint=inpaint, rng=rng, denoise_skip_fn=denoise_skip,
                    **cache_kw)

@@ -94,3 +94,15 @@ def test_segments_split_on_both_predicates():
     # without cfg_on: the original two segments
     segs2 = _alpha_segments(t, denoise_skip_fn=lambda: None)
     assert segs2 == [(0, 3, False, True), (3, 10, True, True)]
+
+
+def test_parse_cfg_interval_validation():
+    from layoutllm_t2i_tpu.pipeline.inference import parse_cfg_interval
+
+    assert parse_cfg_interval(None) is None
+    assert parse_cfg_interval("") is None
+    assert parse_cfg_interval("0.1,0.85") == (0.1, 0.85)
+    assert parse_cfg_interval((0.0, 0.5)) == (0.0, 0.5)
+    for bad in ("0.75,0.0", "0.75", "a,b", "0.1,0.2,0.3", "-0.1,0.5"):
+        with pytest.raises(ValueError):
+            parse_cfg_interval(bad)
