@@ -164,3 +164,26 @@ def test_http_server_endpoints(pipe):
         assert m["requests"] >= 3 and m["errors"] == 0
     finally:
         srv.shutdown()
+
+
+def test_batcher_with_speed_modes():
+    """The serving stack composes with the round-3 speed knobs: int8
+    weights + DPM few-step sampling + guidance interval, through the real
+    MicroBatcher contract (per-request seeds included)."""
+    from layoutllm_t2i_tpu.pipeline.loaders import quantize_unet_int8
+
+    models = quantize_unet_int8(random_models(seed=0, small=True),
+                                min_size=128)
+    pipe = InferencePipeline(models, steps=4, sampler="dpm",
+                             guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7),
+                             cfg_interval=(0.1, 0.85))
+    b = MicroBatcher(pipe, batch_size=2, max_delay_ms=50)
+    try:
+        img = np.asarray(b.submit("a dog", [[0.2, 0.2, 0.8, 0.8]], ["dog"],
+                                  seed=3, timeout=600))
+        assert img.ndim == 3 and np.isfinite(img).all()
+        img2 = np.asarray(b.submit("a dog", [[0.2, 0.2, 0.8, 0.8]], ["dog"],
+                                   seed=3, timeout=600))
+        np.testing.assert_array_equal(img, img2)
+    finally:
+        b.close()
