@@ -30,6 +30,12 @@ def bucket_of(name: str) -> str:
         return "convolutions"
     if n.startswith("copy") or ".copy" in n or n.startswith("transpose"):
         return "layout copies/transposes"
+    if n.startswith("convert") or ".convert" in n:
+        # standalone dtype converts: in an --int8 trace a LARGE entry here
+        # means XLA materialized the dequantized weights in HBM instead of
+        # fusing the dequant into the consuming dot — the int8 path's
+        # failure mode (ops/quant.py)
+        return "standalone converts (int8 dequant?)"
     if n.startswith("dot") or "dot_general" in n:
         return "dots (unfused)"
     if "dynamic-update-slice" in n or "dynamic-slice" in n:
