@@ -145,6 +145,21 @@ def _segment_denoisers(denoise_fn, denoise_skip_fn, denoise_nocfg_fn,
     return pick
 
 
+def _resize_cache(cache, b: int, to_cfg: bool):
+    """Adapt an encoder cache across a guidance-interval segment boundary:
+    CFG segments carry (2B, ...) features ([cond; uncond]), cond-only
+    segments (B, ...). The transformed values are placeholders ONLY — the
+    first step of every segment is forced key (InferencePipeline._key_steps)
+    so a resized cache is refreshed before any propagated step reads it;
+    the resize just keeps the scan carry shape consistent."""
+    if to_cfg:
+        return jax.tree_util.tree_map(
+            lambda a: jnp.concatenate([a, a]) if a.shape[0] == b else a,
+            cache)
+    return jax.tree_util.tree_map(
+        lambda a: a[:b] if a.shape[0] == 2 * b else a, cache)
+
+
 def plms_sample(
     denoise_fn,
     tables: StepTables,
@@ -178,15 +193,14 @@ def plms_sample(
 
     denoise_nocfg_fn/denoise_nocfg_skip_fn/cfg_on: guidance-interval mode
     (arXiv:2404.07724) — steps with cfg_on == False run the cond-only
-    variants (half the CFG batch). Mutually exclusive with the encoder
-    cache (the cache batch dim would change across segments).
+    variants (half the CFG batch). Composes with the encoder cache: the
+    carried cache is batch-resized at segment boundaries (_resize_cache)
+    and boundary steps are forced key by the pipeline's key_steps table.
     """
     steps = int(tables.t.shape[0])
     b = x_init.shape[0]
     sched_dev = _schedule_device(schedule) if schedule is not None else None
     cached_mode = cache_init is not None
-    assert not (cached_mode and denoise_nocfg_fn is not None), (
-        "encoder cache and guidance interval cannot combine")
 
     def blend(x, t, rng_step):
         if inpaint is None:
@@ -271,8 +285,12 @@ def plms_sample(
         carry = (x_init, hist0, count0)
     pick = _segment_denoisers(denoise_fn, denoise_skip_fn, denoise_nocfg_fn,
                               denoise_nocfg_skip_fn)
+    prev_cfg = None
     for a, end, is_zero, is_cfg in _alpha_segments(tables, denoise_skip_fn,
                                                    cfg_on):
+        if cached_mode and prev_cfg is not None and is_cfg != prev_cfg:
+            carry = carry[:-1] + (_resize_cache(carry[-1], b, is_cfg),)
+        prev_cfg = is_cfg
         carry, _ = jax.lax.scan(
             make_body(pick(is_zero, is_cfg), allow_warm=(a == 0)), carry,
             tuple(v[a:end] for v in xs))
@@ -306,8 +324,6 @@ def ddim_sample(
     rngs = jax.random.split(rng, steps)
     stochastic = bool(np.any(np.asarray(tables.sigma) > 0))
     cached_mode = cache_init is not None
-    assert not (cached_mode and denoise_nocfg_fn is not None), (
-        "encoder cache and guidance interval cannot combine")
 
     def make_body(dn):
         def body(carry, inp):
@@ -348,8 +364,12 @@ def ddim_sample(
         carry = x_init
     pick = _segment_denoisers(denoise_fn, denoise_skip_fn, denoise_nocfg_fn,
                               denoise_nocfg_skip_fn)
+    prev_cfg = None
     for a, end, is_zero, is_cfg in _alpha_segments(tables, denoise_skip_fn,
                                                    cfg_on):
+        if cached_mode and prev_cfg is not None and is_cfg != prev_cfg:
+            carry = (carry[0], _resize_cache(carry[1], b, is_cfg))
+        prev_cfg = is_cfg
         carry, _ = jax.lax.scan(make_body(pick(is_zero, is_cfg)), carry,
                                 tuple(v[a:end] for v in xs))
     return carry[0] if cached_mode else carry
@@ -390,8 +410,6 @@ def dpm_sample(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     rngs = jax.random.split(rng, steps)
     cached_mode = cache_init is not None
-    assert not (cached_mode and denoise_nocfg_fn is not None), (
-        "encoder cache and guidance interval cannot combine")
     if bool(np.any(np.asarray(tables.sigma) > 0)):
         raise ValueError(
             "dpm_sample is a deterministic ODE solver: eta>0 step tables "
@@ -460,8 +478,12 @@ def dpm_sample(
                  jnp.asarray(0, jnp.int32))
     pick = _segment_denoisers(denoise_fn, denoise_skip_fn, denoise_nocfg_fn,
                               denoise_nocfg_skip_fn)
+    prev_cfg = None
     for a, end, is_zero, is_cfg in _alpha_segments(tables, denoise_skip_fn,
                                                    cfg_on):
+        if cached_mode and prev_cfg is not None and is_cfg != prev_cfg:
+            carry = carry[:-1] + (_resize_cache(carry[-1], b, is_cfg),)
+        prev_cfg = is_cfg
         carry, _ = jax.lax.scan(
             make_body(pick(is_zero, is_cfg), allow_warm=(a == 0)), carry,
             tuple(v[a:end] for v in xs))

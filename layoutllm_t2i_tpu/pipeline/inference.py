@@ -271,10 +271,6 @@ class InferencePipeline:
         # middle noise levels). None = CFG on every step (reference
         # behavior, plms.py:115-124).
         self.cfg_interval = parse_cfg_interval(cfg_interval)
-        if self.cfg_interval and self.encoder_cache_interval:
-            raise ValueError(
-                "encoder_cache_interval and cfg_interval cannot combine: the "
-                "encoder cache batch dim would change across CFG segments")
         # decode the VAE in batch chunks: 512^2 decode activations are ~64MB
         # per image and the full-batch decode is the peak-HBM site of the
         # sampler (a b=16 decode crashed the v5e worker); conv MFU saturates
@@ -319,15 +315,20 @@ class InferencePipeline:
 
     def _key_steps(self) -> np.ndarray:
         """Static (S,) bool table for encoder propagation: a full (key)
-        forward every Nth step within each constant-fuser_scale segment —
-        segment starts are forced key, so a propagated step never consumes a
-        cache computed under a different first-conv / skip_gated regime."""
+        forward every Nth step within each constant-(fuser_scale==0, cfg_on)
+        segment — segment starts are forced key, so a propagated step never
+        consumes a cache computed under a different first-conv / skip_gated
+        regime, or a batch-resized placeholder cache at a guidance-interval
+        boundary (samplers._resize_cache)."""
         fuser = np.asarray(self.tables.fuser_scale)
         zero = fuser == 0
+        cfg_on = (self._cfg_on_steps() if self.cfg_interval
+                  and self.guidance_scale != 1.0
+                  else np.ones(len(fuser), dtype=bool))
         keys = np.zeros(len(fuser), dtype=bool)
         seg_start = 0
         for i in range(len(fuser)):
-            if i and zero[i] != zero[i - 1]:
+            if i and (zero[i], cfg_on[i]) != (zero[i - 1], cfg_on[i - 1]):
                 seg_start = i
             keys[i] = (i - seg_start) % self.encoder_cache_interval == 0
         return keys
@@ -383,13 +384,15 @@ class InferencePipeline:
                             cfg_on=self._cfg_on_steps())
         if self.encoder_cache_interval and inpaint is None:
             t0 = jnp.full((noise.shape[0],), self.tables.t[0])
+            # cache batch layout must match the FIRST segment's CFG state
+            # (2B for CFG segments, B for cond-only); boundary resizes are
+            # the sampler's job (_resize_cache + forced key steps)
+            first_cfg = ("cfg_on" not in cache_kw
+                         or bool(cache_kw["cfg_on"][0]))
+            init_fn = denoise if first_cfg else cache_kw["denoise_nocfg_fn"]
             cache_shapes = jax.eval_shape(
-                lambda nz: denoise(nz, t0, 1.0, False, cache="init",
+                lambda nz: init_fn(nz, t0, 1.0, False, cache="init",
                                    is_key=True)[1], noise)
-            # update, not replace: if the __init__ exclusivity guard is ever
-            # relaxed, dropping the cfg_interval kwargs here would be silent
-            assert "cfg_on" not in cache_kw, (
-                "encoder cache and guidance interval cannot combine")
             cache_kw.update(
                 cache_init=jax.tree_util.tree_map(
                     lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes),

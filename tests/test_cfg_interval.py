@@ -72,10 +72,23 @@ def test_off_step_math_is_guidance_one(models):
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
 
 
-def test_incompatible_with_encoder_cache(models):
-    with pytest.raises(ValueError):
-        InferencePipeline(models, steps=4, encoder_cache_interval=2,
-                          cfg_interval=(0.0, 0.7))
+@pytest.mark.parametrize("interval", [(0.0, 0.7), (0.3, 1.0)])
+def test_composes_with_encoder_cache(models, interval):
+    """enc cache + guidance interval: the carried cache is batch-resized at
+    segment boundaries and boundary steps are forced key (_resize_cache).
+    (0.3, 1.0) additionally exercises a cond-only FIRST segment, where
+    cache_init must be built at the single-batch layout."""
+    pipe = InferencePipeline(models, steps=8, sampler="plms",
+                             guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7),
+                             encoder_cache_interval=2, cfg_interval=interval)
+    keys = pipe._key_steps()
+    cfg_on = pipe._cfg_on_steps()
+    for i in range(1, len(keys)):
+        if cfg_on[i] != cfg_on[i - 1]:
+            assert keys[i], f"cfg boundary {i} must be a key step"
+    imgs = pipe.generate(PROMPTS, LAYOUTS, seed=4)
+    assert np.isfinite(imgs).all() and imgs.min() >= 0 and imgs.max() <= 1
+    np.testing.assert_array_equal(imgs, pipe.generate(PROMPTS, LAYOUTS, seed=4))
 
 
 def test_segments_split_on_both_predicates():
