@@ -147,3 +147,22 @@ def test_tp_spatial_keeps_flash_kernel_via_shard_map(monkeypatch):
         txt = jax.jit(f).lower(x).compile().as_text()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
     assert "all-gather" in txt or "shmap" in txt
+
+
+def test_tp_composes_with_speed_modes():
+    """TP latency mode under int8 weights + dpm + guidance interval +
+    encoder cache: GSPMD must partition the cond branches and the resized
+    cache carry too (matches the unsharded result)."""
+    from layoutllm_t2i_tpu.pipeline.loaders import quantize_unet_int8
+
+    models = quantize_unet_int8(random_models(seed=0, small=True),
+                                min_size=128)
+    p = InferencePipeline(models, steps=4, sampler="dpm", guidance_scale=7.5,
+                          alpha_type=(0.3, 0.0, 0.7),
+                          cfg_interval=(0.1, 0.85), encoder_cache_interval=2)
+    mesh = tp_mesh(8)
+    cond, noise = _cond_noise(p)
+    ref = np.asarray(p.sample_latents(cond, noise))
+    tp = np.asarray(p.sample_latents_tp(mesh, cond, noise, style="spatial"))
+    assert tp.shape == ref.shape and np.isfinite(tp).all()
+    np.testing.assert_allclose(tp, ref, atol=2e-4)
