@@ -67,7 +67,22 @@ def main(argv=None):
     ap.add_argument("--cfg_interval", type=str, default=None,
                     help="LO,HI step fractions where CFG applies "
                          "(arXiv:2404.07724), e.g. 0.1,0.85 (paper-faithful: high-noise steps off)")
+    ap.add_argument("--fast", action="store_true",
+                    help="serving speed preset: DPM-Solver++ 20 steps + "
+                         "guidance interval 0.1,0.85 + int8 weights "
+                         "(explicit --steps/--sampler/--cfg_interval/--int8 "
+                         "flags override the preset pieces). Quality-gate "
+                         "with eval.nss1k before production (PERF.md "
+                         "speed-mode menu)")
     args = ap.parse_args(argv)
+    if args.fast:
+        if args.sampler == "plms":
+            args.sampler = "dpm"
+            if args.steps is None:
+                args.steps = 20
+        if args.cfg_interval is None:
+            args.cfg_interval = "0.1,0.85"
+        args.int8 = True
 
     from ..pipeline.inference import InferencePipeline, parse_cfg_interval
     from ..pipeline.loaders import load_models_from_gligen_ckpt, random_models
