@@ -37,6 +37,21 @@ class TPPipeAdapter:
             seed=seed, seeds=seeds, style=self._style, **cond_kwargs)
 
 
+def apply_fast_preset(args):
+    """--fast = dpm-20 + guidance interval 0.1,0.85 + int8, with any
+    explicitly passed --sampler/--steps/--cfg_interval left untouched
+    (argparse defaults are plms/None/None, so a non-default value means the
+    user chose it)."""
+    if args.sampler == "plms":
+        args.sampler = "dpm"
+        if args.steps is None:
+            args.steps = 20
+    if args.cfg_interval is None:
+        args.cfg_interval = "0.1,0.85"
+    args.int8 = True
+    return args
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", type=str, default=None)
@@ -76,13 +91,7 @@ def main(argv=None):
                          "speed-mode menu)")
     args = ap.parse_args(argv)
     if args.fast:
-        if args.sampler == "plms":
-            args.sampler = "dpm"
-            if args.steps is None:
-                args.steps = 20
-        if args.cfg_interval is None:
-            args.cfg_interval = "0.1,0.85"
-        args.int8 = True
+        apply_fast_preset(args)
 
     from ..pipeline.inference import InferencePipeline, parse_cfg_interval
     from ..pipeline.loaders import load_models_from_gligen_ckpt, random_models

@@ -187,3 +187,34 @@ def test_batcher_with_speed_modes():
         np.testing.assert_array_equal(img, img2)
     finally:
         b.close()
+
+
+def test_fast_preset_flag_semantics():
+    """serve --fast fills in dpm-20 + cfg interval + int8 but never
+    overrides a flag the user passed explicitly (cli/serve.py
+    apply_fast_preset)."""
+    import argparse
+
+    from layoutllm_t2i_tpu.cli.serve import apply_fast_preset
+
+    def ns(**kw):
+        base = dict(sampler="plms", steps=None, cfg_interval=None,
+                    int8=False)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    a = apply_fast_preset(ns())
+    assert (a.sampler, a.steps, a.cfg_interval, a.int8) == (
+        "dpm", 20, "0.1,0.85", True)
+
+    # explicit sampler wins, and its steps stay user-controlled
+    a = apply_fast_preset(ns(sampler="ddim", steps=None))
+    assert a.sampler == "ddim" and a.steps is None
+
+    # explicit steps win even when the sampler flips to dpm
+    a = apply_fast_preset(ns(steps=30))
+    assert a.sampler == "dpm" and a.steps == 30
+
+    # explicit interval wins
+    a = apply_fast_preset(ns(cfg_interval="0.2,0.9"))
+    assert a.cfg_interval == "0.2,0.9"
