@@ -213,6 +213,21 @@ def compute_fid(gen_images, gt_images, inception_ckpt: Optional[str] = None,
     return {key: frechet_distance(*compute_stats(fa), *compute_stats(fb))}
 
 
+def resolve_fast_preset(args):
+    """--fast on the quality gate = score exactly what `serve --fast`
+    serves. Maps this CLI's arg surface (steps default 50, not None) onto
+    cli.serve.apply_fast_preset: an explicit non-default --steps wins; the
+    default 50 becomes dpm's 20 when the preset flips the sampler."""
+    from ..cli.serve import apply_fast_preset
+
+    if args.steps == 50:  # argparse default → let the preset choose
+        args.steps = None
+    apply_fast_preset(args)
+    if args.steps is None:  # preset left it alone (explicit --sampler)
+        args.steps = 50
+    return args
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_path", type=str, default=None,
@@ -259,8 +274,14 @@ def main(argv=None):
                     choices=["plms", "ddim", "dpm"],
                     help="dpm + --steps 20: quality-gate the few-step "
                          "serving config (arXiv:2211.01095)")
+    ap.add_argument("--fast", action="store_true",
+                    help="score the exact `serve --fast` preset (dpm-20 + "
+                         "cfg interval 0.1,0.85 + int8); explicit flags "
+                         "override the preset pieces")
     args = ap.parse_args(argv)
     assert args.data_path or args.data_dir, "need --data_path or --data_dir"
+    if args.fast:
+        resolve_fast_preset(args)
 
     import jax
 

@@ -120,3 +120,27 @@ def test_run_all_splits(tmp_path):
     assert set(out) == set(SPLIT_FILES) | {"overall"}
     assert out["overall"]["n"] == 5
     assert abs(out["overall"]["clip_score_mean"] - 2.5) < 1e-5
+
+
+def test_fast_preset_resolution():
+    """nss1k --fast mirrors serve --fast (eval/nss1k.py
+    resolve_fast_preset), with nss1k's steps-default-50 surface mapped
+    correctly."""
+    import argparse
+
+    from layoutllm_t2i_tpu.eval.nss1k import resolve_fast_preset
+
+    def ns(**kw):
+        base = dict(sampler="plms", steps=50, cfg_interval=None, int8=False)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    a = resolve_fast_preset(ns())
+    assert (a.sampler, a.steps, a.cfg_interval, a.int8) == (
+        "dpm", 20, "0.1,0.85", True)
+    # explicit steps survive the preset
+    a = resolve_fast_preset(ns(steps=30))
+    assert a.sampler == "dpm" and a.steps == 30
+    # explicit sampler keeps the 50-step default
+    a = resolve_fast_preset(ns(sampler="ddim"))
+    assert a.sampler == "ddim" and a.steps == 50
