@@ -214,5 +214,29 @@ def main():
     }))
 
 
+def _run_with_outage_retry():
+    """Re-exec this script (fresh process -> fresh backend init) if the TPU
+    pool claim fails with the transient UNAVAILABLE signature, bounded by
+    LLT2I_BENCH_RETRY. A failed claim already blocks ~25 min before erroring,
+    so two retries cover a ~1-2 h pool blip without hand-holding; a longer
+    outage still fails fast enough for the caller to notice."""
+    import os
+    import sys
+
+    try:
+        main()
+    except RuntimeError as e:
+        if "UNAVAILABLE" not in str(e):
+            raise
+        tries = int(os.environ.get("LLT2I_BENCH_RETRY", "0"))
+        if tries >= 2:
+            raise
+        print(f"[bench] pool UNAVAILABLE (attempt {tries + 1}); "
+              "sleeping 300s and retrying", file=sys.stderr, flush=True)
+        time.sleep(300)
+        os.environ["LLT2I_BENCH_RETRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_outage_retry()
