@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--enable_ema", action="store_true",
                    help="EMA of trainable params (reference enable_ema)")
     p.add_argument("--ema_rate", type=float, default=0.9999)
+    p.add_argument("--sync_ckpt", action="store_true",
+                   help="write checkpoints synchronously (default: disk "
+                        "writes overlap training via checkpoint/async_io)")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard Adam moments over the data mesh axis "
                         "(for --trainable_mode all full finetunes)")
@@ -105,6 +108,7 @@ def main(argv=None):
         enable_ema=args.enable_ema, ema_rate=args.ema_rate,
         accum_steps=args.accum_steps,
         zero1_opt_state=args.zero1,
+        async_ckpt=not args.sync_ckpt,
     )
 
     models = _small_models() if args.small else None

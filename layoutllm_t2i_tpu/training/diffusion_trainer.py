@@ -23,6 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..checkpoint.async_io import AsyncWriter
 from ..checkpoint.io import (
     create_run_dir_with_auto_resume, load_checkpoint, save_checkpoint,
 )
@@ -86,6 +87,12 @@ class TrainerConfig:
     # moment trees and gain nothing. Single-host scope (the initial
     # device_put of a sharded state assumes all shards are addressable).
     zero1_opt_state: bool = False
+    # overlap checkpoint disk writes with training (checkpoint/async_io.py):
+    # the device->host snapshot stays synchronous (the donated next step
+    # invalidates the old buffers), the serialize+write — ~5.9 GB/save with
+    # export_reference_ckpt at SD scale — rides a background thread. The
+    # reference saves synchronously (trainer_combined_layout.py:523-535).
+    async_ckpt: bool = True
     num_devices: Optional[int] = None
 
 
@@ -111,6 +118,7 @@ class DiffusionTrainer:
         )
         self.logger = Logger(os.path.join(self.run_dir, "log.txt"))
         self.metrics = MetricsWriter(os.path.join(self.run_dir, "metrics.jsonl"))
+        self.ckpt_writer = AsyncWriter()
         self.tb = maybe_tensorboard(self.run_dir) if is_primary() else None
 
         m = models or self._build_models(config)
@@ -334,6 +342,9 @@ class DiffusionTrainer:
                 if not cfg.disable_inference_in_training:
                     self.sample_previews(host_batch, iter_idx + 1)
                 self.save_ckpt(iter_idx + 1)
+        # join the in-flight async checkpoint write (and surface its error)
+        # before declaring the run done
+        self.ckpt_writer.wait()
         self.logger.write("Training finished.")
 
     # -- periodic sample previews (trainer_combined_layout.py:457-521) --------
@@ -398,16 +409,16 @@ class DiffusionTrainer:
         self.logger.write(f"saved sample previews to {out_path}")
 
     def save_ckpt(self, iter_name: int):
-        payload = {"state": tuple(self.state), "iters": iter_name}
+        # Synchronous part: device->host snapshot of everything the write
+        # needs. The next (donated) train step invalidates the old device
+        # buffers, so the snapshot cannot be deferred to the writer thread.
+        host_state = jax.tree.map(np.asarray, tuple(self.state))
+        payload = {"state": host_state, "iters": iter_name}
         cfg_dict = dataclasses.asdict(self.config)
         cfg_dict["unet_cfg"] = dataclasses.asdict(self.unet_cfg)
         path = os.path.join(self.run_dir, f"checkpoint_{iter_name:08d}")
-        save_checkpoint(path, payload, cfg_dict)
-        save_checkpoint(os.path.join(self.run_dir, "checkpoint_latest"), payload, cfg_dict)
+        export_args = None
         if self.config.export_reference_ckpt:
-            from ..checkpoint.export import export_gligen_checkpoint
-
-            pth = os.path.join(self.run_dir, f"checkpoint_{iter_name:08d}.pth")
             ema_combined = None
             if self.state.ema_params is not None:
                 from .train_step import combine_params
@@ -415,11 +426,30 @@ class DiffusionTrainer:
                 ema_combined = combine_params(
                     jax.tree.map(np.asarray, self.state.ema_params),
                     self.frozen_params)
-            export_gligen_checkpoint(
-                pth, self._combined_unet_params(),
+            export_args = (
+                self._combined_unet_params(),
                 jax.tree.map(np.asarray, self.vae_params),
                 jax.tree.map(np.asarray, self.clip_params),
-                self.schedule, cfg_dict, iters=iter_name,
-                ema_unet_params=ema_combined)
-            self.logger.write(f"exported reference-format ckpt to {pth}")
-        self.logger.write(f"saved checkpoint to {path}")
+                ema_combined,
+            )
+
+        def _write():
+            save_checkpoint(path, payload, cfg_dict)
+            save_checkpoint(os.path.join(self.run_dir, "checkpoint_latest"),
+                            payload, cfg_dict)
+            if export_args is not None:
+                from ..checkpoint.export import export_gligen_checkpoint
+
+                unet_p, vae_p, clip_p, ema_p = export_args
+                pth = os.path.join(self.run_dir,
+                                   f"checkpoint_{iter_name:08d}.pth")
+                export_gligen_checkpoint(
+                    pth, unet_p, vae_p, clip_p, self.schedule, cfg_dict,
+                    iters=iter_name, ema_unet_params=ema_p)
+                self.logger.write(f"exported reference-format ckpt to {pth}")
+            self.logger.write(f"saved checkpoint to {path}")
+
+        if self.config.async_ckpt:
+            self.ckpt_writer.submit(_write)
+        else:
+            _write()
