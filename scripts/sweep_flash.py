@@ -77,6 +77,10 @@ def main():
         os.environ["LLT2I_FLASH_EXP"] = "exp"
         os.environ["LLT2I_FLASH_MONO"] = "1"
         os.environ["LLT2I_PALLAS_FFN"] = "1"
+        # _FLASH_MIN_KV is bound at import time — set the module attribute
+        # (same pattern as _BLOCK_Q/_BLOCK_K); MONO_GROW is read per call.
+        attn_mod._FLASH_MIN_KV = 128
+        os.environ["LLT2I_FLASH_MONO_GROW"] = "0"
         for extra in parts[2:]:
             if extra.startswith("a"):
                 os.environ["LLT2I_FLASH_ADAPTIVE_K"] = extra[1:]
@@ -86,6 +90,12 @@ def main():
                 os.environ["LLT2I_FLASH_MONO"] = extra[1:]
             elif extra.startswith("f"):
                 os.environ["LLT2I_PALLAS_FFN"] = extra[1:]
+            elif extra.startswith("k"):
+                # kN -> _FLASH_MIN_KV=N: route small-KV (text cross-attn
+                # M=77) sites through the flash kernel instead of XLA softmax
+                attn_mod._FLASH_MIN_KV = int(extra[1:])
+            elif extra.startswith("g"):
+                os.environ["LLT2I_FLASH_MONO_GROW"] = extra[1:]
         attn_mod._BLOCK_Q = bq
         attn_mod._BLOCK_K = bk
         loop = make_loop()
