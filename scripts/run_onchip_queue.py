@@ -24,8 +24,15 @@ import time
 LOG = "/tmp/onchip_results_r3.log"
 
 STEPS = [
-    ("sweep_r3b_all", [sys.executable, "scripts/sweep_r3b.py"]),
+    # NOTE (round-3 continuation, 2026-08-19): a full bench.py run costs
+    # ~26 min cold through the remote compiler (measured), so the full
+    # sweep_r3b list (11 variants) is ~5 h of chip time. Highest-value
+    # first; the minkv question was answered cheaper at UNet-forward level
+    # (sweep_flash kN suffix — see PERF.md round-3c).
     ("sweep_latency", [sys.executable, "scripts/sweep_latency.py"]),
+    ("sweep_r3b_serving", [sys.executable, "scripts/sweep_r3b.py",
+                           "dpm20", "cfgmid", "b16"]),
+    ("sweep_r3b_rest", [sys.executable, "scripts/sweep_r3b.py"]),
     ("bench_trace", [sys.executable, "bench.py", "--trace", "/tmp/trace_r3c"]),
     ("analyze_trace", [sys.executable, "scripts/analyze_trace.py",
                        "/tmp/trace_r3c"]),
