@@ -33,12 +33,12 @@ _BLOCK_Q = int(os.environ.get("LLT2I_FLASH_BLOCK_Q", "512"))
 _BLOCK_K = int(os.environ.get("LLT2I_FLASH_BLOCK_K", "512"))
 
 # Minimum KV length for the flash path. The text cross-attention sites
-# (M=77 CLIP context) are far below the old 128 floor, but XLA's fallback
-# materializes the (B, H, N, 77) f32 score tensor in HBM (161 MB per 64^2
-# site per UNet eval) while the kernel pads KV rows to one masked 128-block
-# and keeps scores VMEM-resident. Default stays 128 until the on-chip A/B
-# lands (interpret-green kernels have been Mosaic-rejected before, PERF.md);
-# sweep with LLT2I_FLASH_MIN_KV=16.
+# (M=77 CLIP context) are below the 128 floor; routing them through the
+# kernel (LLT2I_FLASH_MIN_KV=16) was measured 2.5% SLOWER end-to-end on
+# chip (98.1 -> 100.6 ms/eval b=8 UNet fwd, PERF.md round-3c): XLA fuses
+# the materialized softmax well enough that per-site grid launches plus
+# the 77->128 masked-KV padding cost more than the saved score traffic.
+# The floor stays 128 by measurement, not by caution.
 _FLASH_MIN_KV = int(os.environ.get("LLT2I_FLASH_MIN_KV", "128"))
 
 
