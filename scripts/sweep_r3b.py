@@ -25,6 +25,9 @@ import sys
 
 VARIANTS = [
     ("base", {}),
+    # minkv / minkv+grow: RETIRED — measured 2.5% slower at UNet-forward
+    # level (sweep_flash kN suffix, PERF.md round-3c); kept runnable for
+    # re-checks but excluded from the default full-bench queue by cost.
     ("minkv", {"LLT2I_FLASH_MIN_KV": "16"}),
     ("minkv+grow", {"LLT2I_FLASH_MIN_KV": "16", "LLT2I_FLASH_MONO_GROW": "1"}),
     ("scoped32", {
