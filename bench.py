@@ -175,6 +175,25 @@ def main():
 
     m = pipe.models
     args_all = (m.unet_params, m.vae_params, m.sd_first_conv, cond)
+
+    # analytic MXU-FLOP count of the timed program (jaxpr walk: scans x
+    # length, pallas kernels x grid — XLA cost_analysis can't see custom
+    # calls); emitted as tflops_per_sec + mfu so every A/B self-reports its
+    # roofline position (VERDICT r3 item 4)
+    from layoutllm_t2i_tpu.utils.flops import count_fn_flops, mfu, peak_tflops
+
+    try:
+        total_flops = count_fn_flops(run_all_fn, *args_all, noises)
+        if pipe.encoder_cache_interval:
+            # the per-step is_key cond alternates at a static fraction k:
+            # true cost = k*max-branch + (1-k)*min-branch (slightly inflated
+            # by the warm-start branch riding in max — ~1%, see flops.py)
+            k = float(np.mean(pipe._key_steps()))
+            hi = count_fn_flops(run_all_fn, *args_all, noises, cond_mode="max")
+            total_flops = k * hi + (1.0 - k) * total_flops
+    except Exception as e:  # never let accounting kill the bench
+        print(f"[bench] flop count failed: {e}", flush=True)
+        total_flops = None
     # warmup / compile (same scan length so only ONE program is compiled);
     # fetch VALUES, not just block_until_ready — the remote tunnel can
     # return from block_until_ready before execution finishes
@@ -190,6 +209,15 @@ def main():
             np.asarray(run_all(*args_all, noises_tr))
 
     imgs_per_sec = b * args.iters / dt
+    perf = {}
+    if total_flops is not None:
+        n_chips = jax.device_count() if args.sharded else 1
+        perf = {
+            "tflops_per_sec": round(total_flops / dt / 1e12, 2),
+            "mfu": round(mfu(total_flops, dt, n_chips), 4),
+            "peak_tflops": peak_tflops(),
+            "flops_per_image": round(total_flops / (b * args.iters) / 1e12, 3),
+        }
     if args.latency:
         # steady-state DEVICE latency (batch=1, iterations scanned in one
         # dispatch): a mean, not a percentile — per-iteration samples don't
@@ -204,6 +232,7 @@ def main():
             "value": round(dt / args.iters, 4),
             "unit": "s/img",
             "vs_baseline": round(imgs_per_sec / 8.0, 4),
+            **perf,
         }))
         return
     print(json.dumps({
@@ -211,6 +240,7 @@ def main():
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / 8.0, 4),
+        **perf,
     }))
 
 

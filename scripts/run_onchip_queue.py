@@ -32,7 +32,11 @@ STEPS = [
     ("sweep_latency", [sys.executable, "scripts/sweep_latency.py"]),
     ("sweep_r3b_serving", [sys.executable, "scripts/sweep_r3b.py",
                            "dpm20", "cfgmid", "b16"]),
-    ("sweep_r3b_rest", [sys.executable, "scripts/sweep_r3b.py"]),
+    # explicit names: skips the retired minkv/minkv+grow variants and the
+    # three already measured by sweep_r3b_serving (each cold variant is
+    # ~26 min of chip — running all 11 would waste ~2 h, ADVICE r3)
+    ("sweep_r3b_rest", [sys.executable, "scripts/sweep_r3b.py",
+                        "base", "scoped32", "b12", "enc2", "enc3", "cfg75"]),
     ("bench_trace", [sys.executable, "bench.py", "--trace", "/tmp/trace_r3c"]),
     ("analyze_trace", [sys.executable, "scripts/analyze_trace.py",
                        "/tmp/trace_r3c"]),

@@ -66,6 +66,9 @@ def main():
         return loop
 
     results = {}
+    # unsuffixed variants reset to the env-derived import-time value, not a
+    # hardcoded 128, so an operator-set LLT2I_FLASH_MIN_KV isn't overridden
+    min_kv_orig = attn_mod._FLASH_MIN_KV
     for var in args.variants.split(","):
         parts = var.split("x")
         bq, bk = int(parts[0]), int(parts[1])
@@ -79,7 +82,7 @@ def main():
         os.environ["LLT2I_PALLAS_FFN"] = "1"
         # _FLASH_MIN_KV is bound at import time — set the module attribute
         # (same pattern as _BLOCK_Q/_BLOCK_K); MONO_GROW is read per call.
-        attn_mod._FLASH_MIN_KV = 128
+        attn_mod._FLASH_MIN_KV = min_kv_orig
         os.environ["LLT2I_FLASH_MONO_GROW"] = "0"
         for extra in parts[2:]:
             if extra.startswith("a"):
