@@ -2,9 +2,12 @@
 
 Reference capability: GLIGEN/clip_score.py get_all_metrics (via
 pycocoevalcap). Re-implemented from the metric definitions in pure Python.
-METEOR here runs the exact+stem matcher stages (the Java original adds
-WordNet synonym/paraphrase tables, unavailable offline); SPICE is scored as
-tuple-F1 over our scene-graph parser ("spice_lite").
+METEOR runs the exact + Porter-stem + synonym matcher stages (synonyms from
+the vendored caption-domain synset table in eval/synonyms.py, or a real
+WordNet export via LLT2I_SYNONYM_JSON); only the Java release's paraphrase
+table is unavailable offline — its measured headroom is bounded by
+scripts/caption_metric_bounds.py. SPICE is scored as tuple-F1 over our
+scene-graph parser ("spice_lite").
 
 Inputs are pre-tokenized lowercase strings; candidates: list[str],
 references: list[list[str]].
@@ -246,36 +249,71 @@ def _porter_stem(word: str) -> str:
     return w
 
 
-def _meteor_align(cand: List[str], ref: List[str]):
-    """Greedy two-stage alignment (exact, then stem); returns matched index
-    pairs (ci, ri)."""
+def _synonym_keys():
+    """Lazy word -> frozenset(group ids) lookup for the synonym stage
+    (vendored caption-domain synset table, eval/synonyms.py; swap in a real
+    WordNet export via LLT2I_SYNONYM_JSON)."""
+    global _SYN_IDX
+    if _SYN_IDX is None:
+        from .synonyms import synonym_index
+
+        _SYN_IDX = {w: frozenset(g) for w, g in synonym_index().items()}
+    return _SYN_IDX
+
+
+_SYN_IDX = None
+
+
+def _meteor_align(cand: List[str], ref: List[str],
+                  stages: tuple = ("exact", "stem", "synonym")):
+    """Greedy staged alignment (exact, stem, synonym — the Java METEOR's
+    stage order, with the paraphrase-table stage unavailable offline);
+    returns matched index pairs (ci, ri)."""
     matched_c = [False] * len(cand)
     matched_r = [False] * len(ref)
     pairs = []
-    for key_fn in (lambda t: t, _porter_stem):
-        ref_keys = [key_fn(t) for t in ref]
+
+    def run_stage(match):
         for ci, tok in enumerate(cand):
             if matched_c[ci]:
                 continue
-            k = key_fn(tok)
-            for ri, rk in enumerate(ref_keys):
-                if not matched_r[ri] and k == rk:
+            for ri, rtok in enumerate(ref):
+                if not matched_r[ri] and match(tok, rtok):
                     matched_c[ci] = matched_r[ri] = True
                     pairs.append((ci, ri))
                     break
+
+    for stage in stages:
+        if stage == "exact":
+            run_stage(lambda a, b: a == b)
+        elif stage == "stem":
+            run_stage(lambda a, b: _porter_stem(a) == _porter_stem(b))
+        elif stage == "synonym":
+            idx = _synonym_keys()
+            empty = frozenset()
+            run_stage(lambda a, b: bool(
+                idx.get(a, empty) & idx.get(b, empty)))
+        else:  # pragma: no cover - guarded upstream
+            raise ValueError(f"unknown meteor stage: {stage}")
     return sorted(pairs)
 
 
 def meteor(candidates: List[str], references: List[List[str]],
-           alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
-    """Corpus METEOR (mean of sentence scores, best reference per sentence)."""
+           alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
+           stages: tuple = ("exact", "stem", "synonym")) -> float:
+    """Corpus METEOR (mean of sentence scores, best reference per sentence).
+
+    Matcher stages follow the Java METEOR order: exact, Porter-stem,
+    synonym (vendored synset table / LLT2I_SYNONYM_JSON); the paraphrase
+    stage needs the Java release's table and stays unavailable — its
+    headroom is measured by scripts/caption_metric_bounds.py."""
     scores = []
     for cand, refs in zip(candidates, references):
         c = cand.lower().split()
         best = 0.0
         for ref in refs:
             r = ref.lower().split()
-            pairs = _meteor_align(c, r)
+            pairs = _meteor_align(c, r, stages)
             m = len(pairs)
             if m == 0 or not c or not r:
                 continue

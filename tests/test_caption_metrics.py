@@ -83,3 +83,57 @@ def test_get_all_metrics_has_meteor_and_spice():
     out = get_all_metrics(["a dog runs"], [["a dog runs"]])
     assert {"meteor_lite", "spice_lite"} <= set(out)
     assert out["meteor_lite"] > 0.5
+
+
+def test_meteor_synonym_stage():
+    """The synonym stage (vendored synset table, eval/synonyms.py) matches
+    tokens the exact+stem stages cannot — Java METEOR's WordNet behavior."""
+    from layoutllm_t2i_tpu.eval.caption_metrics import meteor
+
+    cand, refs = ["a big bicycle"], [["a large bike"]]
+    no_syn = meteor(cand, refs, stages=("exact", "stem"))
+    with_syn = meteor(cand, refs)  # default stages include synonym
+    assert with_syn > no_syn
+    # big~large and bicycle~bike both match -> all 3 tokens aligned
+    assert with_syn > 0.9
+
+
+def test_meteor_stages_monotone():
+    """Each added stage can only add matches, so corpus scores are
+    non-decreasing across stage prefixes (the caption_metric_bounds.py
+    invariant; measured on NSS1K pairs: 0.4412 -> 0.4454 -> 0.4467)."""
+    from layoutllm_t2i_tpu.eval.caption_metrics import meteor
+
+    cands = ["a man riding a small bike", "two dogs running on grass",
+             "a photo of a large couch"]
+    refs = [["a guy rides a little bicycle"], ["dogs run in the grass"],
+            [["a picture of a big sofa"][0]]]
+    prev = -1.0
+    for stages in [("exact",), ("exact", "stem"),
+                   ("exact", "stem", "synonym")]:
+        s = meteor(cands, refs, stages=stages)
+        assert s >= prev
+        prev = s
+
+
+def test_synonym_json_override(tmp_path):
+    """LLT2I_SYNONYM_JSON swaps in an external synset export (the
+    full-WordNet fidelity hook)."""
+    import importlib
+    import json
+    import os
+
+    from layoutllm_t2i_tpu.eval import caption_metrics, synonyms
+
+    p = tmp_path / "syn.json"
+    p.write_text(json.dumps([["zyx", "wvu"]]))
+    os.environ["LLT2I_SYNONYM_JSON"] = str(p)
+    caption_metrics._SYN_IDX = None  # drop the lazy cache
+    try:
+        groups = synonyms.load_groups()
+        assert frozenset({"zyx", "wvu"}) in groups
+        s = caption_metrics.meteor(["zyx"], [["wvu"]])
+        assert s > 0.4
+    finally:
+        del os.environ["LLT2I_SYNONYM_JSON"]
+        caption_metrics._SYN_IDX = None
