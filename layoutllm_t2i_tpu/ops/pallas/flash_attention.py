@@ -192,6 +192,38 @@ def _attn_kernel_wholerow(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         lse_ref[0] = _lse_row(m, acc[:, -1:], logf)
 
 
+def _attn_kernel_wholerow_hb(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                             kv_len: int, scale: float, need_lse: bool,
+                             need_mask: bool, exp_impl: str):
+    """Head-blocked whole-row variant: hb heads per grid program via batched
+    dots. Same math as _attn_kernel_wholerow; the candidate win is
+    grid-level (VERDICT r3 item 6) — 1/hb as many programs amortizes
+    per-program launch/DMA setup, and the (hb, Mp, C) K/V block is one
+    contiguous HBM region instead of hb separate fetches. The d_head=40 MXU
+    ceiling is untouched (the batched dot is still hb independent
+    contraction-40 matmuls). VMEM cost scales by hb, so the wrapper shrinks
+    block_q to keep hb*block_q*Mp*4B inside the score budget."""
+    expf, logf, qmul, pdt = _exp_cfg(exp_impl)
+    q = (q_ref[:].astype(jnp.float32) * (scale * qmul)).astype(q_ref.dtype)
+    k = k_ref[:]                                       # (hb, Mp, C)
+    v = v_ref[:]                                       # (hb, Mp, Cv+1)
+
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # (hb,BQ,Mp)
+    if need_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    d = s - m
+    p = expf(d.astype(pdt)) if pdt is not None else expf(d)
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (hb, BQ, Cv+1)
+    o_ref[:] = (acc[..., :-1] / acc[..., -1:]).astype(o_ref.dtype)
+    if need_lse:
+        lse_ref[:] = (m[..., 0] + logf(acc[..., -1]))[:, None, :]
+
+
 # keep total VMEM well under the scoped-vmem budget (default XLA limit is
 # 16 MB, --xla_tpu_scoped_vmem_limit_kib raises it); env-tunable in MB for
 # sweeps under a raised limit (K+V resident, double-buffered q/out blocks,
@@ -206,22 +238,31 @@ _WHOLEROW_S_BYTES = int(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_q", "block_k", "kv_len", "interpret",
-                     "need_lse", "exp_impl"),
+                     "need_lse", "exp_impl", "head_block", "wholerow_bytes"),
 )
 def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
-              interpret: bool, need_lse: bool = False, exp_impl: str = "exp"):
+              interpret: bool, need_lse: bool = False, exp_impl: str = "exp",
+              head_block: int = 1, wholerow_bytes: int = 0):
     """q/k: (BH, Np/Mp, Cp), v: (BH, Mp, Cp+1) with the appended ones column;
     kv_len is the true M. Returns out or (out, lse), lse: (BH, 1, Np) f32
-    (the singleton middle dim satisfies Mosaic's sublane rule; see below)."""
+    (the singleton middle dim satisfies Mosaic's sublane rule; see below).
+
+    head_block > 1 runs the head-blocked whole-row kernel (hb heads per grid
+    program); wholerow_bytes overrides the module score-row budget — both
+    are STATIC so sweep variants retrace instead of reusing a jit cache
+    keyed without them."""
     bh, np_, cp = q.shape
     mp = k.shape[1]
     cv1 = v.shape[2]
     num_kb = mp // block_k
     kv_bytes = 2 * mp * cp * q.dtype.itemsize
+    wr_budget = wholerow_bytes or _WHOLEROW_S_BYTES
+    hb = head_block if head_block > 1 and bh % head_block == 0 else 1
 
     # whole-row variant: shrink block_q until the f32 score row fits
+    # (hb heads share one program, so the row budget divides by hb)
     mono_bq = block_q
-    while mono_bq > 128 and mono_bq * mp * 4 > _WHOLEROW_S_BYTES:
+    while mono_bq > 128 and hb * mono_bq * mp * 4 > wr_budget:
         mono_bq //= 2
     if os.environ.get("LLT2I_FLASH_MONO_GROW", "0") == "1":
         # small-KV sites (text cross-attention: Mp=128): GROW the q block
@@ -229,15 +270,52 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
         # amortize per-program grid/DMA overhead when the KV side is tiny.
         # Mosaic handles the partial tail block when np_ % mono_bq != 0.
         while (mono_bq * 2 <= np_
-               and mono_bq * 2 * mp * 4 <= _WHOLEROW_S_BYTES):
+               and hb * mono_bq * 2 * mp * 4 <= wr_budget):
             mono_bq *= 2
     use_mono = (
-        kv_bytes <= _FULLKV_VMEM_BYTES
-        and mono_bq * mp * 4 <= _WHOLEROW_S_BYTES
+        kv_bytes <= _FULLKV_VMEM_BYTES   # per-head K/V residency budget
+        and hb * mono_bq * mp * 4 <= wr_budget
         and os.environ.get("LLT2I_FLASH_MONO", "1") == "1"
     )
     if use_mono:
         block_q = mono_bq
+
+    if use_mono and hb > 1:
+        out_shapes = [jax.ShapeDtypeStruct((bh, np_, cp), q.dtype),
+                      jax.ShapeDtypeStruct(
+                          (bh, 1, np_) if need_lse else (1, 1), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((hb, block_q, cp), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, 1, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM)
+            if need_lse
+            else pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM),
+        ]
+        kernel = functools.partial(
+            _attn_kernel_wholerow_hb, kv_len=kv_len, scale=scale,
+            need_lse=need_lse, need_mask=kv_len != mp, exp_impl=exp_impl,
+        )
+        out, lse = pl.pallas_call(
+            kernel,
+            out_shape=tuple(out_shapes),
+            grid=(bh // hb, pl.cdiv(np_, block_q)),
+            in_specs=[
+                pl.BlockSpec((hb, block_q, cp), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb, mp, cp), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb, mp, cv1), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(out_specs),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(q, k, v)
+        return (out, lse) if need_lse else out
 
     out_shapes = [jax.ShapeDtypeStruct((bh, np_, cp), q.dtype)]
     out_specs = [pl.BlockSpec((1, block_q, cp), lambda b, i, j=None: (b, i, 0),
@@ -274,6 +352,9 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=tuple(out_specs),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
             interpret=interpret,
         )(q, k, v)
         return (out, lse) if need_lse else out
@@ -299,6 +380,9 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=tuple(out_specs),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
             interpret=interpret,
         )(q, k, v)
         return (out, lse) if need_lse else out
@@ -535,6 +619,16 @@ def _exp_impl_env() -> str:
     return impl
 
 
+def _grid_env():
+    """(head_block, wholerow_bytes) — the grid-level sweep knobs (VERDICT r3
+    item 6), read per call so scripts/sweep_flash.py variants retrace (both
+    are static jit args of _flash_bh)."""
+    hb = int(os.environ.get("LLT2I_FLASH_HEAD_BLOCK", "1"))
+    wr = int(float(os.environ.get("LLT2I_FLASH_WHOLEROW_MB", "6"))
+             * 1024 * 1024)
+    return hb, wr
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(q, k, v, scale, block_q=256, block_k=512, interpret=None):
     """q: (B, H, N, C), k/v: (B, H, M, C) -> (B, H, N, C). Differentiable."""
@@ -542,8 +636,10 @@ def flash_attention(q, k, v, scale, block_q=256, block_k=512, interpret=None):
     m = k.shape[2]
     qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret,
                                        pad_q=False)
+    hb, wr = _grid_env()
     out = _flash_bh(qf, kf, _ones_col(vf), scale, bq, bk, m, interp,
-                    need_lse=False, exp_impl=_exp_impl_env())
+                    need_lse=False, exp_impl=_exp_impl_env(),
+                    head_block=hb, wholerow_bytes=wr)
     return out.reshape(b, h, n, c)
 
 
@@ -552,8 +648,10 @@ def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
     m = k.shape[2]
     qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret)
     exp_impl = _exp_impl_env()
+    hb, wr = _grid_env()
     out, lse = _flash_bh(qf, kf, _ones_col(vf), scale, bq, bk, m, interp,
-                         need_lse=True, exp_impl=exp_impl)
+                         need_lse=True, exp_impl=exp_impl,
+                         head_block=hb, wholerow_bytes=wr)
     # residuals must be JAX types: encode the impl as an index into _EXP_IMPLS
     return out[:, :n, :].reshape(b, h, n, c), (qf, kf, vf, out, lse, bq, bk,
                                                interp, n, m,

@@ -84,6 +84,8 @@ def main():
         # (same pattern as _BLOCK_Q/_BLOCK_K); MONO_GROW is read per call.
         attn_mod._FLASH_MIN_KV = min_kv_orig
         os.environ["LLT2I_FLASH_MONO_GROW"] = "0"
+        os.environ["LLT2I_FLASH_HEAD_BLOCK"] = "1"
+        os.environ["LLT2I_FLASH_WHOLEROW_MB"] = "6"
         for extra in parts[2:]:
             if extra.startswith("a"):
                 os.environ["LLT2I_FLASH_ADAPTIVE_K"] = extra[1:]
@@ -99,6 +101,15 @@ def main():
                 attn_mod._FLASH_MIN_KV = int(extra[1:])
             elif extra.startswith("g"):
                 os.environ["LLT2I_FLASH_MONO_GROW"] = extra[1:]
+            elif extra.startswith("h"):
+                # hN -> LLT2I_FLASH_HEAD_BLOCK=N: N heads per grid program
+                # in the whole-row kernel (grid-level A/B, VERDICT r3 item 6)
+                os.environ["LLT2I_FLASH_HEAD_BLOCK"] = extra[1:]
+            elif extra.startswith("w"):
+                # wN -> LLT2I_FLASH_WHOLEROW_MB=N: raise the score-row VMEM
+                # budget so larger q blocks stay on the whole-row path
+                # (static jit arg, so each variant retraces)
+                os.environ["LLT2I_FLASH_WHOLEROW_MB"] = extra[1:]
         attn_mod._BLOCK_Q = bq
         attn_mod._BLOCK_K = bk
         loop = make_loop()
