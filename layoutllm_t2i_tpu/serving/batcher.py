@@ -149,3 +149,11 @@ class MicroBatcher:
             out["latency_p50_ms"] = lat[len(lat) // 2]
             out["latency_p99_ms"] = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
         return out
+
+    def reset_metrics(self) -> None:
+        """Zero the counters/latency window — called after warmup so the
+        steady-state percentiles aren't polluted by the multi-minute cold
+        compile riding the first request."""
+        with self._lock:
+            for k in self.stats:
+                self.stats[k] = [] if k == "latencies_ms" else 0

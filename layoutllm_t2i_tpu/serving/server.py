@@ -66,6 +66,9 @@ class GenerationServer:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
+                if self.path == "/metrics/reset":
+                    server.batcher.reset_metrics()
+                    return self._json(200, {"ok": True})
                 if self.path != "/generate":
                     return self._json(404, {"error": "not found"})
                 try:
