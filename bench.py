@@ -66,7 +66,27 @@ def main():
                          "(prompt-DP, params replicated) — the multi-chip "
                          "scaling mode; on one chip it compiles the same "
                          "program with explicit shardings")
+    ap.add_argument("--fast", action="store_true",
+                    help="serving fast preset: DPM-Solver++ 20 steps + "
+                         "CFG interval 0.1,0.85 + encoder cache 2 (measured "
+                         "3.19 img/s/chip vs 1.00 exact in the round-4 "
+                         "sweep; int8 measured as a LOSS at both b=8 and "
+                         "b=1 and is not included). Explicit flags override "
+                         "preset pieces. Second headline — the exact "
+                         "PLMS-50 default stays the vs_baseline number")
     args = ap.parse_args()
+    if args.fast:
+        if args.sampler == "plms":
+            args.sampler = "dpm"
+            if args.steps == 50:
+                args.steps = 20
+        if args.cfg_interval is None:
+            args.cfg_interval = "0.1,0.85"
+        if args.cache_encoder == 0:
+            args.cache_encoder = 2
+        metric_suffix = "_fast"
+    else:
+        metric_suffix = ""
 
     from layoutllm_t2i_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -228,7 +248,7 @@ def main():
         # the 8 img/s target (monotone; no latency baseline exists,
         # BASELINE.md).
         print(json.dumps({
-            "metric": "image_latency_steady_state_mean",
+            "metric": "image_latency_steady_state_mean" + metric_suffix,
             "value": round(dt / args.iters, 4),
             "unit": "s/img",
             "vs_baseline": round(imgs_per_sec / 8.0, 4),
@@ -236,7 +256,7 @@ def main():
         }))
         return
     print(json.dumps({
-        "metric": "images_per_sec_per_chip",
+        "metric": "images_per_sec_per_chip" + metric_suffix,
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / 8.0, 4),

@@ -93,6 +93,17 @@ def main():
                        cfg_interval=(0.0, 0.75)), B, IT, False),
         ("fastenc2", dict(steps=20, sampler="dpm", cfg_interval=(0.1, 0.85),
                           encoder_cache_interval=2), B, IT, True),
+        # round-4 pass 2: the first pass measured int8 LOSING at both b=8
+        # (0.954 vs 1.003 base) and b=1 (0.659 vs 0.681 lat_fp), so the
+        # preset candidates are re-measured without it
+        ("fast2", dict(steps=20, sampler="dpm", cfg_interval=(0.1, 0.85),
+                       encoder_cache_interval=2), B, IT, False),
+        ("dpmenc2", dict(steps=20, sampler="dpm",
+                         encoder_cache_interval=2), B, IT, False),
+        ("dpmcfg", dict(steps=20, sampler="dpm",
+                        cfg_interval=(0.1, 0.85)), B, IT, False),
+        ("lat_fast2", dict(steps=20, sampler="dpm", cfg_interval=(0.1, 0.85),
+                           encoder_cache_interval=2), 1, 6, False),
         ("lat_fp", dict(steps=50, sampler="plms"), 1, 6, False),
         ("lat_int8", dict(steps=50, sampler="plms"), 1, 6, True),
         ("lat_int8_ffnq", dict(steps=50, sampler="plms"), 1, 6, True),
