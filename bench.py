@@ -203,14 +203,14 @@ def main():
     from layoutllm_t2i_tpu.utils.flops import count_fn_flops, mfu, peak_tflops
 
     try:
-        total_flops = count_fn_flops(run_all_fn, *args_all, noises)
-        if pipe.encoder_cache_interval:
-            # the per-step is_key cond alternates at a static fraction k:
-            # true cost = k*max-branch + (1-k)*min-branch (slightly inflated
-            # by the warm-start branch riding in max — ~1%, see flops.py)
-            k = float(np.mean(pipe._key_steps()))
-            hi = count_fn_flops(run_all_fn, *args_all, noises, cond_mode="max")
-            total_flops = k * hi + (1.0 - k) * total_flops
+        # key_frac: encoder-propagation's per-step is_key cond alternates at
+        # a static fraction k — interpolated at the cond site (a global
+        # max pass wrongly charges the warm-start Heun branch every step;
+        # see flops.py key_frac docstring)
+        kf = (float(np.mean(pipe._key_steps()))
+              if pipe.encoder_cache_interval else None)
+        total_flops = count_fn_flops(run_all_fn, *args_all, noises,
+                                     key_frac=kf)
     except Exception as e:  # never let accounting kill the bench
         print(f"[bench] flop count failed: {e}", flush=True)
         total_flops = None

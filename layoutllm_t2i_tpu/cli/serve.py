@@ -38,17 +38,25 @@ class TPPipeAdapter:
 
 
 def apply_fast_preset(args):
-    """--fast = dpm-20 + guidance interval 0.1,0.85 + int8, with any
-    explicitly passed --sampler/--steps/--cfg_interval left untouched
-    (argparse defaults are plms/None/None, so a non-default value means the
-    user chose it)."""
+    """--fast = dpm-20 + guidance interval 0.1,0.85 + encoder cache 2, with
+    any explicitly passed --sampler/--steps/--cfg_interval/--cache_encoder
+    left untouched (argparse defaults are plms/None/None/0, so a non-default
+    value means the user chose it).
+
+    int8 is NOT part of the preset: the round-4 on-chip sweep measured it
+    as a speed LOSS at both b=8 throughput (-4.9%) and b=1 latency (-3.2%)
+    — at 512² even batch 1 is activation-bound, so the dequant epilogue
+    costs more than the halved weight traffic saves (PERF.md round 4).
+    It stays an explicit --int8 opt-in for HBM-footprint-constrained
+    deployments."""
     if args.sampler == "plms":
         args.sampler = "dpm"
         if args.steps is None:
             args.steps = 20
     if args.cfg_interval is None:
         args.cfg_interval = "0.1,0.85"
-    args.int8 = True
+    if args.cache_encoder == 0:
+        args.cache_encoder = 2
     return args
 
 
@@ -84,11 +92,12 @@ def main(argv=None):
                          "(arXiv:2404.07724), e.g. 0.1,0.85 (paper-faithful: high-noise steps off)")
     ap.add_argument("--fast", action="store_true",
                     help="serving speed preset: DPM-Solver++ 20 steps + "
-                         "guidance interval 0.1,0.85 + int8 weights "
-                         "(explicit --steps/--sampler/--cfg_interval/--int8 "
-                         "flags override the preset pieces). Quality-gate "
-                         "with eval.nss1k before production (PERF.md "
-                         "speed-mode menu)")
+                         "guidance interval 0.1,0.85 + encoder cache 2 "
+                         "(explicit --steps/--sampler/--cfg_interval/"
+                         "--cache_encoder flags override the preset pieces; "
+                         "int8 is excluded — measured as a loss on chip, "
+                         "PERF.md round 4). Quality-gate with eval.nss1k "
+                         "before production")
     args = ap.parse_args(argv)
     if args.fast:
         apply_fast_preset(args)

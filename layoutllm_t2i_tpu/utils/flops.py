@@ -64,17 +64,29 @@ def _conv_flops(eqn) -> float:
 _CALL_JAXPR_KEYS = ("jaxpr", "call_jaxpr", "fun_jaxpr", "cond_jaxpr", "body_jaxpr")
 
 
-def count_jaxpr_flops(jaxpr, cond_mode: str = "min") -> float:
+def count_jaxpr_flops(jaxpr, cond_mode: str = "min",
+                      key_frac: float | None = None) -> float:
     """Sum matmul/conv FLOPs over a (Closed)Jaxpr. See module docstring.
 
     ``cond_mode`` picks the ``lax.cond``/``switch`` branch cost: ``min``
     (default) is the steady-state cost — exact for every headline config,
     where the only data-dependent branch is the PLMS/DPM warm start taken
     once per trajectory (undercounts ~1% of a 50-step sample); ``max``
-    counts the expensive branch everywhere (used to bracket the
-    encoder-propagation configs, whose per-step is_key cond alternates at a
-    statically known fraction — see bench.py's interpolation); ``mean``
-    averages."""
+    counts the expensive branch everywhere; ``mean`` averages.
+
+    ``key_frac`` (encoder-propagation counting, arXiv:2312.09608): the
+    per-step ``is_key`` cond alternates at a statically known fraction k.
+    A global ``max`` pass cannot isolate it — it also charges the PLMS/DPM
+    warm-start cond's Heun branch (one extra full UNet eval) at EVERY step,
+    which is how round 4's first enc2 MFU came out above the exact path's
+    (impossible; PERF.md round 4 note (a)). The two cond families are
+    structurally distinguishable: warm-start/order-fallback conds have a
+    ZERO-matmul cheap branch (linear history combinations), while the
+    is_key cond's cheap branch is the decoder-only forward (large). So with
+    ``key_frac=k``: conds whose cheapest branch has nonzero matmul cost are
+    counted as ``k*max + (1-k)*min``; zero-cheap-branch conds count their
+    min branch (the same once-per-trajectory Heun undercount the exact
+    configs accept). Overrides ``cond_mode`` at cond sites."""
     if isinstance(jaxpr, jcore.ClosedJaxpr):
         jaxpr = jaxpr.jaxpr
     total = 0.0
@@ -85,21 +97,29 @@ def count_jaxpr_flops(jaxpr, cond_mode: str = "min") -> float:
         elif name == "conv_general_dilated":
             total += _conv_flops(eqn)
         elif name == "scan":
-            total += count_jaxpr_flops(eqn.params["jaxpr"], cond_mode) * float(
+            total += count_jaxpr_flops(eqn.params["jaxpr"], cond_mode,
+                                       key_frac) * float(
                 eqn.params["length"])
         elif name == "cond":
             branches = eqn.params["branches"]
             if branches:
-                costs = [count_jaxpr_flops(b, cond_mode) for b in branches]
-                total += {"min": min, "max": max,
-                          "mean": lambda c: sum(c) / len(c)}[cond_mode](costs)
+                costs = [count_jaxpr_flops(b, cond_mode, key_frac)
+                         for b in branches]
+                if key_frac is not None:
+                    lo, hi = min(costs), max(costs)
+                    total += (key_frac * hi + (1.0 - key_frac) * lo
+                              if lo > 0 else lo)
+                else:
+                    total += {"min": min, "max": max,
+                              "mean": lambda c: sum(c) / len(c)}[cond_mode](costs)
         elif name == "while":
-            total += count_jaxpr_flops(eqn.params["body_jaxpr"], cond_mode)
+            total += count_jaxpr_flops(eqn.params["body_jaxpr"], cond_mode,
+                                       key_frac)
         elif name == "pallas_call":
             gm = eqn.params.get("grid_mapping")
             grid = getattr(gm, "grid", ()) or ()
-            total += count_jaxpr_flops(eqn.params["jaxpr"],
-                                       cond_mode) * _prod(grid)
+            total += count_jaxpr_flops(eqn.params["jaxpr"], cond_mode,
+                                       key_frac) * _prod(grid)
         else:
             # first matching key ONLY: a custom_vjp/jvp eqn can carry more
             # than one jaxpr-typed param for the same computation — summing
@@ -107,14 +127,16 @@ def count_jaxpr_flops(jaxpr, cond_mode: str = "min") -> float:
             for key in _CALL_JAXPR_KEYS:
                 sub = eqn.params.get(key) if eqn.params else None
                 if isinstance(sub, (jcore.ClosedJaxpr, jcore.Jaxpr)):
-                    total += count_jaxpr_flops(sub, cond_mode)
+                    total += count_jaxpr_flops(sub, cond_mode, key_frac)
                     break
     return total
 
 
-def count_fn_flops(fn, *args, cond_mode: str = "min", **kwargs) -> float:
+def count_fn_flops(fn, *args, cond_mode: str = "min",
+                   key_frac: float | None = None, **kwargs) -> float:
     """Trace ``fn`` abstractly and count its matmul/conv FLOPs."""
-    return count_jaxpr_flops(jax.make_jaxpr(fn)(*args, **kwargs), cond_mode)
+    return count_jaxpr_flops(jax.make_jaxpr(fn)(*args, **kwargs), cond_mode,
+                             key_frac)
 
 
 # Peak MXU throughput for MFU reporting. v5e: 197 bf16 TFLOP/s per chip

@@ -182,12 +182,12 @@ def main():
 
             flops = None
             try:
-                flops = count_fn_flops(run_all, *args, noises_t)
-                if pipe.encoder_cache_interval:
-                    k = float(np.mean(pipe._key_steps()))
-                    hi = count_fn_flops(run_all, *args, noises_t,
-                                        cond_mode="max")
-                    flops = k * hi + (1.0 - k) * flops
+                # key_frac interpolates the is_key cond AT the cond site —
+                # a global max pass also charges the warm-start Heun branch
+                # every step (flops.py key_frac docstring; PERF.md r4 note a)
+                kf = (float(np.mean(pipe._key_steps()))
+                      if pipe.encoder_cache_interval else None)
+                flops = count_fn_flops(run_all, *args, noises_t, key_frac=kf)
             except Exception as e:
                 print(f"[{name}] flop count failed: {e}", flush=True)
 

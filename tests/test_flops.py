@@ -90,3 +90,46 @@ def test_sampler_flops_sane():
 
 def test_mfu_zero_time():
     assert mfu(1e12, 0.0) == 0.0
+
+
+def test_key_frac_interpolates_only_nonzero_cheap_conds():
+    """key_frac counting (encoder-propagation MFU): a scan body shaped like
+    the samplers' — an is_key cond whose CHEAP branch still does matmuls
+    (decoder-only forward) plus a warm-start cond whose cheap branch is a
+    zero-matmul linear combination (Adams-Bashforth). key_frac must
+    interpolate the first and take min on the second; the round-4 global
+    max pass charged the warm branch every step and reported enc2 above
+    the exact path (PERF.md round 4, note a)."""
+    n = 8
+    steps = 10
+    k = 0.5
+    w = jnp.ones((n, n))
+    full = 2 * n * n * n          # one n x n x n matmul
+
+    def f(x):
+        def body(carry, inp):
+            h, count = carry
+            is_key = inp
+            # is_key cond: full forward (2 matmuls) vs decoder-only (1)
+            h = jax.lax.cond(is_key,
+                             lambda a: (a @ w) @ w,
+                             lambda a: a @ w, h)
+            # warm-start cond: heun (1 matmul) vs AB combo (0 matmuls)
+            h = jax.lax.cond(count == 0,
+                             lambda a: a @ w,
+                             lambda a: 1.5 * a - 0.5 * a, h)
+            return (h, count + 1), ()
+        keys = jnp.arange(steps) % 2 == 0
+        (h, _), _ = jax.lax.scan(body, (x, jnp.int32(0)), keys)
+        return h
+
+    x = jnp.ones((n, n))
+    got = count_fn_flops(f, x, key_frac=k)
+    # is_key cond: k*2 + (1-k)*1 matmuls/step; warm cond: min branch = 0
+    want = steps * (k * 2 * full + (1 - k) * full)
+    assert got == want
+    # the old global-max bracketing overcounts by the warm branch per step
+    hi = count_fn_flops(f, x, cond_mode="max")
+    assert hi == steps * (2 * full + full)
+    # and without key_frac, min stays the steady-state count
+    assert count_fn_flops(f, x) == steps * full

@@ -190,22 +190,26 @@ def test_batcher_with_speed_modes():
 
 
 def test_fast_preset_flag_semantics():
-    """serve --fast fills in dpm-20 + cfg interval + int8 but never
-    overrides a flag the user passed explicitly (cli/serve.py
-    apply_fast_preset)."""
+    """serve --fast fills in dpm-20 + cfg interval + encoder cache 2 (no
+    int8 — measured slower on chip, PERF.md round 4) but never overrides a
+    flag the user passed explicitly (cli/serve.py apply_fast_preset)."""
     import argparse
 
     from layoutllm_t2i_tpu.cli.serve import apply_fast_preset
 
     def ns(**kw):
         base = dict(sampler="plms", steps=None, cfg_interval=None,
-                    int8=False)
+                    int8=False, cache_encoder=0)
         base.update(kw)
         return argparse.Namespace(**base)
 
     a = apply_fast_preset(ns())
-    assert (a.sampler, a.steps, a.cfg_interval, a.int8) == (
-        "dpm", 20, "0.1,0.85", True)
+    assert (a.sampler, a.steps, a.cfg_interval, a.cache_encoder,
+            a.int8) == ("dpm", 20, "0.1,0.85", 2, False)
+
+    # explicit encoder-cache interval wins over the preset's 2
+    a = apply_fast_preset(ns(cache_encoder=3))
+    assert a.cache_encoder == 3
 
     # explicit sampler wins, and its steps stay user-controlled
     a = apply_fast_preset(ns(sampler="ddim", steps=None))
