@@ -6,8 +6,22 @@ decode) with random weights and measures steady-state images/sec on one chip.
 
 Prints ONE JSON line:
   {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s",
-   "vs_baseline": N / 8.0}
+   "vs_baseline": N / 8.0, ...}
 (the 8 img/s/chip target comes from BASELINE.md).
+
+The default invocation measures BOTH headlines in one process (weights
+stay resident, the second compile is the only extra cost):
+  * the exact PLMS-50 config — `value` / `vs_baseline` (unchanged lineage
+    since round 1), and
+  * the `--fast` serving preset (DPM-Solver++ 20 steps + CFG interval
+    0.1,0.85 + encoder cache 2; VERDICT r3 item 1's "second headline") —
+    `fast_*` fields, including a LIVE quality gate: both configs sample
+    the same final noise with the same weights, and `fast_psnr_vs_exact_db`
+    is the PSNR between their decoded 512² images, measured fresh on every
+    bench run (not quoted from a past sweep).
+Any non-default knob (--fast, --latency, --int8, --trace, explicit
+sampler/steps/intervals, --sharded) measures that single config only, as
+before — A/B sweeps should not pay a second compile.
 """
 from __future__ import annotations
 
@@ -18,6 +32,11 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def _psnr(a, b):
+    mse = float(np.mean((np.asarray(a, np.float32) - np.asarray(b, np.float32)) ** 2))
+    return float("inf") if mse == 0 else 10.0 * float(np.log10(1.0 / mse))
 
 
 def main():
@@ -48,9 +67,10 @@ def main():
                          "p50 image latency alongside img/s)")
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 UNet (per-channel scales, dequant "
-                         "fused into the consuming dots; ops/quant.py) — "
-                         "halves per-step weight HBM traffic, aimed at "
-                         "--latency where batch 1 is weight-bound")
+                         "fused into the consuming dots; ops/quant.py). "
+                         "Measured a speed LOSS on chip at both b=8 and b=1 "
+                         "(PERF.md round 4) — opt-in for HBM-footprint-"
+                         "constrained deployments only")
     ap.add_argument("--cache_encoder", type=int, default=0,
                     help="encoder propagation interval N (arXiv:2312.09608): "
                          "run the UNet encoder every Nth step, reuse cached "
@@ -67,14 +87,22 @@ def main():
                          "scaling mode; on one chip it compiles the same "
                          "program with explicit shardings")
     ap.add_argument("--fast", action="store_true",
-                    help="serving fast preset: DPM-Solver++ 20 steps + "
-                         "CFG interval 0.1,0.85 + encoder cache 2 (measured "
-                         "3.19 img/s/chip vs 1.00 exact in the round-4 "
-                         "sweep; int8 measured as a LOSS at both b=8 and "
-                         "b=1 and is not included). Explicit flags override "
-                         "preset pieces. Second headline — the exact "
-                         "PLMS-50 default stays the vs_baseline number")
+                    help="serving fast preset ONLY: DPM-Solver++ 20 steps + "
+                         "CFG interval 0.1,0.85 + encoder cache 2 (int8 "
+                         "measured as a LOSS at both b=8 and b=1 and is not "
+                         "included). Explicit flags override preset pieces. "
+                         "The default invocation already measures this "
+                         "preset alongside the exact headline")
+    ap.add_argument("--no_fast", action="store_true",
+                    help="skip the fast-preset second measurement in the "
+                         "default invocation (halves chip time)")
     args = ap.parse_args()
+    # dual mode: the plain default invocation (the driver's) measures the
+    # exact headline AND the fast preset; any explicit A/B knob opts out
+    dual = not (args.fast or args.no_fast or args.latency or args.trace
+                or args.int8 or args.sharded
+                or args.sampler != "plms" or args.steps != 50
+                or args.cfg_interval is not None or args.cache_encoder != 0)
     if args.fast:
         if args.sampler == "plms":
             args.sampler = "dpm"
@@ -99,6 +127,7 @@ def main():
     from layoutllm_t2i_tpu.ops.schedules import make_ddpm_schedule
     from layoutllm_t2i_tpu.pipeline.inference import (
         GligenModels, InferencePipeline, parse_cfg_interval)
+    from layoutllm_t2i_tpu.utils.flops import count_fn_flops, mfu, peak_tflops
     from layoutllm_t2i_tpu.utils.trees import jitted_init
 
     on_tpu = jax.default_backend() == "tpu"
@@ -132,11 +161,18 @@ def main():
         from layoutllm_t2i_tpu.pipeline.loaders import quantize_unet_int8
 
         models = quantize_unet_int8(models)
-    pipe = InferencePipeline(models, steps=args.steps, sampler=args.sampler,
-                             guidance_scale=args.guidance, alpha_type=(0.3, 0.0, 0.7),
-                             vae_chunk=args.vae_chunk or None,
-                             encoder_cache_interval=args.cache_encoder,
-                             cfg_interval=parse_cfg_interval(getattr(args, "cfg_interval", None)))
+
+    def make_pipe(**overrides):
+        kw = dict(steps=args.steps, sampler=args.sampler,
+                  guidance_scale=args.guidance,
+                  alpha_type=(0.3, 0.0, 0.7),
+                  vae_chunk=args.vae_chunk or None,
+                  encoder_cache_interval=args.cache_encoder,
+                  cfg_interval=parse_cfg_interval(args.cfg_interval))
+        kw.update(overrides)
+        return InferencePipeline(models, **kw)
+
+    pipe = make_pipe()
 
     if args.latency:
         args.batch = 1
@@ -146,11 +182,8 @@ def main():
     relations = [["dog chase frisbee"]] * b
 
     cond = pipe.build_cond(prompts, layouts, relations)
-    noise = jax.random.normal(
-        jax.random.PRNGKey(42),
-        (b, unet_cfg.image_size, unet_cfg.image_size, unet_cfg.in_channels),
-        jnp.float32,
-    )
+    noise_shape = (b, unet_cfg.image_size, unet_cfg.image_size,
+                   unet_cfg.in_channels)
 
     # vary inputs per iteration AND between warmup/timed dispatches: repeated
     # byte-identical remote executions can be served bogus-fast by the tunnel
@@ -158,86 +191,105 @@ def main():
     def make_noises(seed):
         return jnp.stack([
             jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(seed), i),
-                              noise.shape, noise.dtype)
+                              noise_shape, jnp.float32)
             for i in range(args.iters)
         ])
 
     noises = make_noises(7)
     noises_timed = make_noises(1234)
 
-    # all iterations inside ONE jitted scan: measures steady-state device
-    # throughput; per-dispatch tunnel latency (~2s/call through axon) would
-    # otherwise dominate the timed region
-    def run_all_fn(unet_params, vae_params, sd_conv, cond, noises):
-        def body(carry, nz):
-            img = pipe._sample_fn(unet_params, vae_params, sd_conv, cond, nz,
-                                  jax.random.PRNGKey(0))
-            return carry, jnp.sum(img.astype(jnp.float32))
-        _, sums = jax.lax.scan(body, 0, noises)
-        return sums
+    def measure(p, trace_dir=None):
+        """One config: compile, timed scanned dispatch, MFU. Returns the
+        result dict + the LAST timed iteration's decoded images (rides the
+        scan carry — no (iters,b,512²,3) stack in HBM; fetched untimed,
+        after the sum sync) for the dual-mode quality compare."""
+        # all iterations inside ONE jitted scan: measures steady-state device
+        # throughput; per-dispatch tunnel latency (~2s/call through axon)
+        # would otherwise dominate the timed region
+        def run_all_fn(unet_params, vae_params, sd_conv, cond, noises):
+            out = jax.eval_shape(
+                lambda nz: p._sample_fn(unet_params, vae_params, sd_conv,
+                                        cond, nz, jax.random.PRNGKey(0)),
+                noises[0])
+            img0 = jnp.zeros(out.shape, out.dtype)
 
-    if args.sharded:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from layoutllm_t2i_tpu.parallel.mesh import make_mesh
+            def body(carry, nz):
+                img = p._sample_fn(unet_params, vae_params, sd_conv, cond,
+                                   nz, jax.random.PRNGKey(0))
+                return img, jnp.sum(img.astype(jnp.float32))
+            img_last, sums = jax.lax.scan(body, img0, noises)
+            return sums, img_last
 
-        n_dev = jax.device_count()
-        assert b % n_dev == 0, f"--batch {b} must divide over {n_dev} devices"
-        mesh = make_mesh(n_dev)
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-        run_all = jax.jit(
-            run_all_fn,
-            in_shardings=(repl, repl, repl, data, NamedSharding(mesh, P(None, "data"))),
-            out_shardings=repl,
-        )
-    else:
-        run_all = jax.jit(run_all_fn)
+        if args.sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from layoutllm_t2i_tpu.parallel.mesh import make_mesh
 
-    m = pipe.models
-    args_all = (m.unet_params, m.vae_params, m.sd_first_conv, cond)
+            n_dev = jax.device_count()
+            assert b % n_dev == 0, f"--batch {b} must divide over {n_dev} devices"
+            mesh = make_mesh(n_dev)
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            run_all = jax.jit(
+                run_all_fn,
+                in_shardings=(repl, repl, repl, data,
+                              NamedSharding(mesh, P(None, "data"))),
+                out_shardings=repl,
+            )
+        else:
+            run_all = jax.jit(run_all_fn)
 
-    # analytic MXU-FLOP count of the timed program (jaxpr walk: scans x
-    # length, pallas kernels x grid — XLA cost_analysis can't see custom
-    # calls); emitted as tflops_per_sec + mfu so every A/B self-reports its
-    # roofline position (VERDICT r3 item 4)
-    from layoutllm_t2i_tpu.utils.flops import count_fn_flops, mfu, peak_tflops
+        m = p.models
+        args_all = (m.unet_params, m.vae_params, m.sd_first_conv, cond)
 
-    try:
-        # key_frac: encoder-propagation's per-step is_key cond alternates at
-        # a static fraction k — interpolated at the cond site (a global
-        # max pass wrongly charges the warm-start Heun branch every step;
-        # see flops.py key_frac docstring)
-        kf = (float(np.mean(pipe._key_steps()))
-              if pipe.encoder_cache_interval else None)
-        total_flops = count_fn_flops(run_all_fn, *args_all, noises,
-                                     key_frac=kf)
-    except Exception as e:  # never let accounting kill the bench
-        print(f"[bench] flop count failed: {e}", flush=True)
-        total_flops = None
-    # warmup / compile (same scan length so only ONE program is compiled);
-    # fetch VALUES, not just block_until_ready — the remote tunnel can
-    # return from block_until_ready before execution finishes
-    np.asarray(run_all(*args_all, noises))
+        # analytic MXU-FLOP count of the timed program (jaxpr walk: scans x
+        # length, pallas kernels x grid — XLA cost_analysis can't see custom
+        # calls); emitted as tflops_per_sec + mfu so every A/B self-reports
+        # its roofline position (VERDICT r3 item 4)
+        try:
+            # key_frac: encoder-propagation's per-step is_key cond alternates
+            # at a static fraction k — interpolated at the cond site (a
+            # global max pass wrongly charges the warm-start Heun branch
+            # every step; see flops.py key_frac docstring)
+            kf = (float(np.mean(p._key_steps()))
+                  if p.encoder_cache_interval else None)
+            total_flops = count_fn_flops(run_all_fn, *args_all, noises,
+                                         key_frac=kf)
+        except Exception as e:  # never let accounting kill the bench
+            print(f"[bench] flop count failed: {e}", flush=True)
+            total_flops = None
+        # warmup / compile (same scan length so only ONE program is
+        # compiled); fetch VALUES, not just block_until_ready — the remote
+        # tunnel can return from block_until_ready before execution finishes
+        sums, _ = run_all(*args_all, noises)
+        float(np.asarray(sums).sum())
 
-    t0 = time.perf_counter()
-    np.asarray(run_all(*args_all, noises_timed))
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sums, img_last = run_all(*args_all, noises_timed)
+        float(np.asarray(sums).sum())  # sync INSIDE the timed region
+        dt = time.perf_counter() - t0
+        img_last = np.asarray(img_last)  # untimed: execution already synced
 
-    if args.trace:
-        noises_tr = make_noises(99)
-        with jax.profiler.trace(args.trace):
-            np.asarray(run_all(*args_all, noises_tr))
+        if trace_dir:
+            noises_tr = make_noises(99)
+            with jax.profiler.trace(trace_dir):
+                sums, _ = run_all(*args_all, noises_tr)
+                float(np.asarray(sums).sum())
 
-    imgs_per_sec = b * args.iters / dt
-    perf = {}
-    if total_flops is not None:
-        n_chips = jax.device_count() if args.sharded else 1
-        perf = {
-            "tflops_per_sec": round(total_flops / dt / 1e12, 2),
-            "mfu": round(mfu(total_flops, dt, n_chips), 4),
-            "peak_tflops": peak_tflops(),
-            "flops_per_image": round(total_flops / (b * args.iters) / 1e12, 3),
-        }
+        rec = {"imgs_per_sec": b * args.iters / dt, "dt": dt}
+        if total_flops is not None:
+            n_chips = jax.device_count() if args.sharded else 1
+            rec.update(
+                tflops_per_sec=round(total_flops / dt / 1e12, 2),
+                mfu=round(mfu(total_flops, dt, n_chips), 4),
+                peak_tflops=peak_tflops(),
+                flops_per_image=round(total_flops / (b * args.iters) / 1e12, 3),
+            )
+        return rec, img_last
+
+    rec, img_exact = measure(pipe, trace_dir=args.trace)
+    imgs_per_sec = rec.pop("imgs_per_sec")
+    dt = rec.pop("dt")
+
     if args.latency:
         # steady-state DEVICE latency (batch=1, iterations scanned in one
         # dispatch): a mean, not a percentile — per-iteration samples don't
@@ -252,16 +304,34 @@ def main():
             "value": round(dt / args.iters, 4),
             "unit": "s/img",
             "vs_baseline": round(imgs_per_sec / 8.0, 4),
-            **perf,
+            **rec,
         }))
         return
-    print(json.dumps({
+
+    out = {
         "metric": "images_per_sec_per_chip" + metric_suffix,
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / 8.0, 4),
-        **perf,
-    }))
+        **rec,
+    }
+    if dual:
+        # second headline: the --fast serving preset, same weights + same
+        # timed noise stack -> the decoded-image PSNR against the exact run
+        # is a live quality gate (VERDICT r3 items 1+2)
+        pipe_fast = make_pipe(steps=20, sampler="dpm",
+                              cfg_interval=(0.1, 0.85),
+                              encoder_cache_interval=2)
+        frec, img_fast = measure(pipe_fast)
+        out.update(
+            fast_value=round(frec["imgs_per_sec"], 4),
+            fast_vs_baseline=round(frec["imgs_per_sec"] / 8.0, 4),
+            fast_psnr_vs_exact_db=round(_psnr(img_fast, img_exact), 2),
+        )
+        for k_ in ("tflops_per_sec", "mfu", "flops_per_image"):
+            if k_ in frec:
+                out["fast_" + k_] = frec[k_]
+    print(json.dumps(out))
 
 
 def _run_with_outage_retry():

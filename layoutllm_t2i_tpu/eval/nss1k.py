@@ -276,8 +276,10 @@ def main(argv=None):
                          "serving config (arXiv:2211.01095)")
     ap.add_argument("--fast", action="store_true",
                     help="score the exact `serve --fast` preset (dpm-20 + "
-                         "cfg interval 0.1,0.85 + int8); explicit flags "
-                         "override the preset pieces")
+                         "cfg interval 0.1,0.85 + encoder cache 2; int8 was "
+                         "retired from the preset — measured slower on chip, "
+                         "PERF.md round 4); explicit flags override the "
+                         "preset pieces")
     args = ap.parse_args(argv)
     assert args.data_path or args.data_dir, "need --data_path or --data_dir"
     if args.fast:

@@ -1,16 +1,12 @@
-"""Run the round-3 on-chip measurement queue sequentially (one TPU job at a
-time, no timeouts — axon lease etiquette). Everything appends to
+"""Run the remaining on-chip measurement queue sequentially (one TPU job at
+a time, no timeouts — axon lease etiquette). Everything appends to
 /tmp/onchip_results_r3.log; sweep JSON lines land there too.
 
-Queue (see /tmp/onchip_todo.md):
-  1. sweep_r3b.py            — all variants: base/minkv/grow/scoped32/b12/
-                               b16 + enc2/enc3/cfgmid/cfg75/dpm20
-  2. sweep_latency.py        — fp / int8 / int8+ffnq / int8-tput
-  3. bench.py --trace        — fresh trace at defaults -> analyze_trace
-  4. bench.py --int8 --trace — dequant-fusion check (standalone-convert
-                               bucket must stay small)
-  5. bench_train.py --accum 2 / 4 (mixed precision, b=8)
-  6. bench.py                — final headline confirm
+Round-4 state: the serving/latency A/Bs this queue originally held were
+measured by scripts/sweep_r4.py (PERF.md round-4 table). STEPS below is
+the remainder: dual-headline bench validation, accum-train A/B, and a
+fresh exact-path trace. Budget ~10 min lease-release lag between steps
+(each step is its own chip process; tpu-bench-traps).
 
 Aborts the remaining queue if a step fails with the pool-outage signature
 (UNAVAILABLE) so we do not burn a 25-min claim hang per remaining step.
@@ -24,33 +20,28 @@ import time
 LOG = "/tmp/onchip_results_r3.log"
 
 STEPS = [
-    # NOTE (round-3 continuation, 2026-08-19): a full bench.py run costs
-    # ~26 min cold through the remote compiler (measured), so the full
-    # sweep_r3b list (11 variants) is ~5 h of chip time. Highest-value
-    # first; the minkv question was answered cheaper at UNet-forward level
-    # (sweep_flash kN suffix — see PERF.md round-3c).
-    ("sweep_latency", [sys.executable, "scripts/sweep_latency.py"]),
-    ("sweep_r3b_serving", [sys.executable, "scripts/sweep_r3b.py",
-                           "dpm20", "cfgmid", "b16"]),
-    # explicit names: skips the retired minkv/minkv+grow variants and the
-    # three already measured by sweep_r3b_serving (each cold variant is
-    # ~26 min of chip — running all 11 would waste ~2 h, ADVICE r3)
-    ("sweep_r3b_rest", [sys.executable, "scripts/sweep_r3b.py",
-                        "base", "scoped32", "b12", "enc2", "enc3", "cfg75"]),
-    ("bench_trace", [sys.executable, "bench.py", "--trace", "/tmp/trace_r3c"]),
-    ("analyze_trace", [sys.executable, "scripts/analyze_trace.py",
-                       "/tmp/trace_r3c"]),
-    ("bench_int8_trace", [sys.executable, "bench.py", "--int8", "--trace",
-                          "/tmp/trace_int8"]),
-    ("analyze_int8_trace", [sys.executable, "scripts/analyze_trace.py",
-                            "/tmp/trace_int8"]),
+    # NOTE (round 4, 2026-08-19): the round-3 serving/latency queue was
+    # executed by scripts/sweep_r4.py (one-process sweep; results in
+    # perf_data/sweep_r4_onchip.jsonl + PERF.md round-4 table), and the
+    # int8 trace was mooted by int8 losing everywhere and being retired
+    # from the presets. What remains, highest-value first:
+    #  * the dual-headline bench the driver runs at round end (exact +
+    #    fast preset + live PSNR gate in one process) — validate it on
+    #    chip BEFORE the driver does;
+    #  * accum-train A/B (never measured on chip);
+    #  * a fresh trace at the current exact defaults to aim round-5
+    #    kernel work (--no_fast: trace the headline program only).
+    ("bench_dual", [sys.executable, "bench.py"]),
     ("bench_train_accum2", [sys.executable, "scripts/bench_train.py",
                             "--batch", "8", "--mixed_precision",
                             "--accum", "2"]),
     ("bench_train_accum4", [sys.executable, "scripts/bench_train.py",
                             "--batch", "8", "--mixed_precision",
                             "--accum", "4"]),
-    ("bench_final", [sys.executable, "bench.py"]),
+    ("bench_trace", [sys.executable, "bench.py", "--no_fast",
+                     "--trace", "/tmp/trace_r4"]),
+    ("analyze_trace", [sys.executable, "scripts/analyze_trace.py",
+                       "/tmp/trace_r4"]),
 ]
 
 

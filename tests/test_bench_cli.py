@@ -32,6 +32,18 @@ def test_bench_default_contract():
     assert rec["unit"] == "img/s"
     assert rec["value"] > 0
     assert rec["vs_baseline"] == pytest.approx(rec["value"] / 8.0, rel=1e-3)
+    # dual mode: the default invocation also measures the --fast preset in
+    # the same process, with a LIVE decoded-image PSNR quality gate
+    assert rec["fast_value"] > 0
+    assert rec["fast_vs_baseline"] == pytest.approx(
+        rec["fast_value"] / 8.0, rel=1e-3)
+    assert rec["fast_psnr_vs_exact_db"] > 0
+
+
+def test_bench_no_fast_skips_second_headline():
+    rec = _run("--no_fast")
+    assert rec["metric"] == "images_per_sec_per_chip"
+    assert "fast_value" not in rec
 
 
 def test_bench_latency_mode():
