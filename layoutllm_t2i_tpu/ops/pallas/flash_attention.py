@@ -238,17 +238,23 @@ _WHOLEROW_S_BYTES = int(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_q", "block_k", "kv_len", "interpret",
-                     "need_lse", "exp_impl", "head_block", "wholerow_bytes"),
+                     "need_lse", "exp_impl", "head_block", "wholerow_bytes",
+                     "vmem_limit"),
 )
 def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
               interpret: bool, need_lse: bool = False, exp_impl: str = "exp",
-              head_block: int = 1, wholerow_bytes: int = 0):
+              head_block: int = 1, wholerow_bytes: int = 0,
+              vmem_limit: int = 0):
     """q/k: (BH, Np/Mp, Cp), v: (BH, Mp, Cp+1) with the appended ones column;
     kv_len is the true M. Returns out or (out, lse), lse: (BH, 1, Np) f32
     (the singleton middle dim satisfies Mosaic's sublane rule; see below).
 
     head_block > 1 runs the head-blocked whole-row kernel (hb heads per grid
-    program); wholerow_bytes overrides the module score-row budget — both
+    program); wholerow_bytes overrides the module score-row budget;
+    vmem_limit (bytes, 0 = compiler default 16MB) raises Mosaic's
+    scoped-VMEM ceiling for this kernel — the hb>1 variants need it (hb×
+    resident K/V + the hb×BQ×Mp f32 score block exceed 16MB; measured OOM at
+    16.27MB for hb=2/w12 on v5e, whose physical VMEM is 128MB). All three
     are STATIC so sweep variants retrace instead of reusing a jit cache
     keyed without them."""
     bh, np_, cp = q.shape
@@ -312,6 +318,7 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
             out_specs=tuple(out_specs),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=vmem_limit or None,
             ),
             interpret=interpret,
         )(q, k, v)
@@ -354,6 +361,7 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
             out_specs=tuple(out_specs),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=vmem_limit or None,
             ),
             interpret=interpret,
         )(q, k, v)
@@ -382,6 +390,7 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
             out_specs=tuple(out_specs),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=vmem_limit or None,
             ),
             interpret=interpret,
         )(q, k, v)
@@ -412,6 +421,7 @@ def _flash_bh(q, k, v, scale: float, block_q: int, block_k: int, kv_len: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit or None,
         ),
         interpret=interpret,
     )(q, k, v)
@@ -620,13 +630,17 @@ def _exp_impl_env() -> str:
 
 
 def _grid_env():
-    """(head_block, wholerow_bytes) — the grid-level sweep knobs (VERDICT r3
-    item 6), read per call so scripts/sweep_flash.py variants retrace (both
-    are static jit args of _flash_bh)."""
+    """(head_block, wholerow_bytes, vmem_limit) — the grid-level sweep knobs
+    (VERDICT r3 item 6), read per call so scripts/sweep_flash.py variants
+    retrace (all three are static jit args of _flash_bh). LLT2I_FLASH_VMEM_MB
+    (0 = compiler default 16MB) raises Mosaic's scoped-VMEM ceiling so
+    head-blocked variants whose resident K/V + score block exceed 16MB can
+    compile (v5e physical VMEM is 128MB)."""
     hb = int(os.environ.get("LLT2I_FLASH_HEAD_BLOCK", "1"))
     wr = int(float(os.environ.get("LLT2I_FLASH_WHOLEROW_MB", "6"))
              * 1024 * 1024)
-    return hb, wr
+    vm = int(float(os.environ.get("LLT2I_FLASH_VMEM_MB", "0")) * 1024 * 1024)
+    return hb, wr, vm
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -636,10 +650,10 @@ def flash_attention(q, k, v, scale, block_q=256, block_k=512, interpret=None):
     m = k.shape[2]
     qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret,
                                        pad_q=False)
-    hb, wr = _grid_env()
+    hb, wr, vm = _grid_env()
     out = _flash_bh(qf, kf, _ones_col(vf), scale, bq, bk, m, interp,
                     need_lse=False, exp_impl=_exp_impl_env(),
-                    head_block=hb, wholerow_bytes=wr)
+                    head_block=hb, wholerow_bytes=wr, vmem_limit=vm)
     return out.reshape(b, h, n, c)
 
 
@@ -648,10 +662,10 @@ def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
     m = k.shape[2]
     qf, kf, vf, bq, bk, interp = _prep(q, k, v, block_q, block_k, interpret)
     exp_impl = _exp_impl_env()
-    hb, wr = _grid_env()
+    hb, wr, vm = _grid_env()
     out, lse = _flash_bh(qf, kf, _ones_col(vf), scale, bq, bk, m, interp,
                          need_lse=True, exp_impl=exp_impl,
-                         head_block=hb, wholerow_bytes=wr)
+                         head_block=hb, wholerow_bytes=wr, vmem_limit=vm)
     # residuals must be JAX types: encode the impl as an index into _EXP_IMPLS
     return out[:, :n, :].reshape(b, h, n, c), (qf, kf, vf, out, lse, bq, bk,
                                                interp, n, m,

@@ -86,6 +86,7 @@ def main():
         os.environ["LLT2I_FLASH_MONO_GROW"] = "0"
         os.environ["LLT2I_FLASH_HEAD_BLOCK"] = "1"
         os.environ["LLT2I_FLASH_WHOLEROW_MB"] = "6"
+        os.environ["LLT2I_FLASH_VMEM_MB"] = "0"
         for extra in parts[2:]:
             if extra.startswith("a"):
                 os.environ["LLT2I_FLASH_ADAPTIVE_K"] = extra[1:]
@@ -110,28 +111,45 @@ def main():
                 # budget so larger q blocks stay on the whole-row path
                 # (static jit arg, so each variant retraces)
                 os.environ["LLT2I_FLASH_WHOLEROW_MB"] = extra[1:]
+            elif extra.startswith("v"):
+                # vN -> LLT2I_FLASH_VMEM_MB=N: raise Mosaic's scoped-VMEM
+                # ceiling for the kernel (default 16MB; v5e physical 128MB).
+                # Required by hN>1 variants — hb x resident K/V + the
+                # (hb, BQ, Mp) f32 score block OOM the default (measured
+                # 16.27MB for h2/w12 on chip, 2026-08-19)
+                os.environ["LLT2I_FLASH_VMEM_MB"] = extra[1:]
         attn_mod._BLOCK_Q = bq
         attn_mod._BLOCK_K = bk
         loop = make_loop()
-        t0 = time.perf_counter()
-        float(loop(params, x0))
-        compile_s = time.perf_counter() - t0
-        # steady state: 3 timed dispatches with varied inputs (per-dispatch
-        # tunnel overhead is identical across variants, so relative numbers
-        # are meaningful even if absolute ones carry a constant offset)
-        xs = [x0 + 1e-4 * i for i in range(1, 4)]
-        jax.block_until_ready(xs)
-        t0 = time.perf_counter()
-        for xv in xs:
-            float(loop(params, xv))
-        dt = time.perf_counter() - t0
+        # a variant that fails to compile (e.g. scoped-VMEM OOM) must not
+        # kill the rest of the sweep — 2026-08-19 the h2w12 OOM aborted the
+        # queued h4/h8 variants and wasted the chip session
+        try:
+            t0 = time.perf_counter()
+            float(loop(params, x0))
+            compile_s = time.perf_counter() - t0
+            # steady state: 3 timed dispatches with varied inputs
+            # (per-dispatch tunnel overhead is identical across variants, so
+            # relative numbers are meaningful even if absolute ones carry a
+            # constant offset)
+            xs = [x0 + 1e-4 * i for i in range(1, 4)]
+            jax.block_until_ready(xs)
+            t0 = time.perf_counter()
+            for xv in xs:
+                float(loop(params, xv))
+            dt = time.perf_counter() - t0
+        except Exception as e:
+            print(f"bq x bk {var}: FAILED — {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:200]}", flush=True)
+            continue
         per_eval = dt / (len(xs) * n_evals) * 1000
         results[var] = per_eval
         print(f"bq x bk {var}: {per_eval:.1f} ms/eval  "
               f"(compile+first {compile_s:.0f}s)", flush=True)
 
-    best = min(results, key=results.get)
-    print(f"best: {best} at {results[best]:.1f} ms/eval")
+    if results:
+        best = min(results, key=results.get)
+        print(f"best: {best} at {results[best]:.1f} ms/eval")
 
 
 if __name__ == "__main__":
