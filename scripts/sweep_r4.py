@@ -111,6 +111,19 @@ def main():
                           cfg_interval=(0.1, 0.85)), 1, 6, True),
         ("b12", dict(steps=50, sampler="plms"), 12, IT, False),
         ("b16", dict(steps=50, sampler="plms"), 16, IT, False),
+        # round-4 pass 3: push the fast preset further — enc3 inside the
+        # preset (keys every 3rd of 20 dpm steps) and a 15-step dpm point;
+        # the PSNR-vs-exact gate in this sweep decides if either ships
+        ("fast3", dict(steps=20, sampler="dpm", cfg_interval=(0.1, 0.85),
+                       encoder_cache_interval=3), B, IT, False),
+        ("fast15", dict(steps=15, sampler="dpm", cfg_interval=(0.1, 0.85),
+                        encoder_cache_interval=2), B, IT, False),
+        ("dpm25", dict(steps=25, sampler="dpm"), B, IT, False),
+        # tail-cut CFG inside the preset: cfg75 alone measured PSNR 53.9 dB
+        # (vs cfgmid's 30.6) at 1.12x — if the composed speed is close to
+        # fast2, this is a much better quality x speed point
+        ("fastq", dict(steps=20, sampler="dpm", cfg_interval=(0.0, 0.75),
+                       encoder_cache_interval=2), B, IT, False),
     ]
     only = set(sys.argv[1:])
 
