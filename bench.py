@@ -318,19 +318,24 @@ def main():
     if dual:
         # second headline: the --fast serving preset, same weights + same
         # timed noise stack -> the decoded-image PSNR against the exact run
-        # is a live quality gate (VERDICT r3 items 1+2)
-        pipe_fast = make_pipe(steps=20, sampler="dpm",
-                              cfg_interval=(0.1, 0.85),
-                              encoder_cache_interval=2)
-        frec, img_fast = measure(pipe_fast)
-        out.update(
-            fast_value=round(frec["imgs_per_sec"], 4),
-            fast_vs_baseline=round(frec["imgs_per_sec"] / 8.0, 4),
-            fast_psnr_vs_exact_db=round(_psnr(img_fast, img_exact), 2),
-        )
-        for k_ in ("tflops_per_sec", "mfu", "flops_per_image"):
-            if k_ in frec:
-                out["fast_" + k_] = frec[k_]
+        # is a live quality gate (VERDICT r3 items 1+2). Guarded: a fast-
+        # path failure (compile blip, pool hiccup on the second program)
+        # must never cost the exact headline the driver records.
+        try:
+            pipe_fast = make_pipe(steps=20, sampler="dpm",
+                                  cfg_interval=(0.1, 0.85),
+                                  encoder_cache_interval=2)
+            frec, img_fast = measure(pipe_fast)
+            out.update(
+                fast_value=round(frec["imgs_per_sec"], 4),
+                fast_vs_baseline=round(frec["imgs_per_sec"] / 8.0, 4),
+                fast_psnr_vs_exact_db=round(_psnr(img_fast, img_exact), 2),
+            )
+            for k_ in ("tflops_per_sec", "mfu", "flops_per_image"):
+                if k_ in frec:
+                    out["fast_" + k_] = frec[k_]
+        except Exception as e:
+            out["fast_error"] = f"{type(e).__name__}: {e}"[:300]
     print(json.dumps(out))
 
 
