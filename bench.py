@@ -19,9 +19,10 @@ stay resident, the second compile is the only extra cost):
     the same final noise with the same weights, and `fast_psnr_vs_exact_db`
     is the PSNR between their decoded 512² images, measured fresh on every
     bench run (not quoted from a past sweep).
-Any non-default knob (--fast, --latency, --int8, --trace, explicit
+Any non-default knob (--fast, --latency, --int8, explicit
 sampler/steps/intervals, --sharded) measures that single config only, as
-before — A/B sweeps should not pay a second compile.
+before — A/B sweeps should not pay a second compile. --trace alone stays
+dual and captures BOTH program traces (<dir>/exact, <dir>/fast).
 """
 from __future__ import annotations
 
@@ -98,8 +99,11 @@ def main():
                          "default invocation (halves chip time)")
     args = ap.parse_args()
     # dual mode: the plain default invocation (the driver's) measures the
-    # exact headline AND the fast preset; any explicit A/B knob opts out
-    dual = not (args.fast or args.no_fast or args.latency or args.trace
+    # exact headline AND the fast preset; any explicit A/B knob opts out.
+    # --trace does NOT opt out: in dual mode it captures BOTH program
+    # traces (<dir>/exact and <dir>/fast) in one chip process — two cold
+    # processes would cost ~25 min of extra claim+compile each.
+    dual = not (args.fast or args.no_fast or args.latency
                 or args.int8 or args.sharded
                 or args.sampler != "plms" or args.steps != 50
                 or args.cfg_interval is not None or args.cache_encoder != 0)
@@ -286,7 +290,8 @@ def main():
             )
         return rec, img_last
 
-    rec, img_exact = measure(pipe, trace_dir=args.trace)
+    trace_exact = (args.trace + "/exact" if args.trace and dual else args.trace)
+    rec, img_exact = measure(pipe, trace_dir=trace_exact)
     imgs_per_sec = rec.pop("imgs_per_sec")
     dt = rec.pop("dt")
 
@@ -325,7 +330,9 @@ def main():
             pipe_fast = make_pipe(steps=20, sampler="dpm",
                                   cfg_interval=(0.1, 0.85),
                                   encoder_cache_interval=2)
-            frec, img_fast = measure(pipe_fast)
+            frec, img_fast = measure(
+                pipe_fast,
+                trace_dir=args.trace + "/fast" if args.trace else None)
             out.update(
                 fast_value=round(frec["imgs_per_sec"], 4),
                 fast_vs_baseline=round(frec["imgs_per_sec"] / 8.0, 4),

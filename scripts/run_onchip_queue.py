@@ -29,8 +29,8 @@ STEPS = [
     #    fast preset + live PSNR gate in one process) — validate it on
     #    chip BEFORE the driver does;
     #  * accum-train A/B (never measured on chip);
-    #  * a fresh trace at the current exact defaults to aim round-5
-    #    kernel work (--no_fast: trace the headline program only).
+    #  * fresh traces of BOTH current programs (exact + fast preset) to
+    #    aim round-5 kernel work — one dual-mode chip process.
     ("bench_dual", [sys.executable, "bench.py"]),
     ("bench_train_accum2", [sys.executable, "scripts/bench_train.py",
                             "--batch", "8", "--mixed_precision",
@@ -38,10 +38,14 @@ STEPS = [
     ("bench_train_accum4", [sys.executable, "scripts/bench_train.py",
                             "--batch", "8", "--mixed_precision",
                             "--accum", "4"]),
-    ("bench_trace", [sys.executable, "bench.py", "--no_fast",
+    # dual-trace: one chip process captures BOTH program traces
+    # (exact + fast preset) for round-5 aiming
+    ("bench_trace", [sys.executable, "bench.py",
                      "--trace", "/tmp/trace_r4"]),
-    ("analyze_trace", [sys.executable, "scripts/analyze_trace.py",
-                       "/tmp/trace_r4"]),
+    ("analyze_trace_exact", [sys.executable, "scripts/analyze_trace.py",
+                             "/tmp/trace_r4/exact"]),
+    ("analyze_trace_fast", [sys.executable, "scripts/analyze_trace.py",
+                            "/tmp/trace_r4/fast"]),
 ]
 
 
