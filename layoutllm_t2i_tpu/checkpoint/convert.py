@@ -130,3 +130,33 @@ def load_torch_linear(path: str) -> Dict[str, np.ndarray]:
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
     return {k: convert_tensor(k, v) for k, v in sd.items()}
+
+
+def load_policy(path: str) -> Dict[str, Any]:
+    """Reference ``ckpt_E.pt`` (train_rl.py:218-219) -> policy params pytree
+    ``{'linear': {'weight': (in,out), 'bias': (out,)}}`` consumed by
+    models/policy.policy_scores."""
+    return {"linear": load_torch_linear(path)}
+
+
+def load_policy_state(path: str) -> Dict[str, Any]:
+    """Reference ``state_E.pt`` (train_rl.py:220-222) -> Adam moments in JAX
+    layout. Returns ``{'step': int, 'mu': tree, 'nu': tree, 'last_epoch':
+    int}`` where mu/nu mirror the policy params pytree — enough to rebuild an
+    optax Adam state (both frameworks keep uncorrected moments + a step
+    counter). Param ids follow nn.Linear.parameters() order: 0=weight,
+    1=bias."""
+    import torch
+
+    saved = torch.load(path, map_location="cpu", weights_only=False)
+    st = saved["optimizer"]["state"]
+    mu = {"linear": {"weight": convert_tensor("weight", st[0]["exp_avg"]),
+                     "bias": convert_tensor("bias", st[1]["exp_avg"])}}
+    nu = {"linear": {"weight": convert_tensor("weight", st[0]["exp_avg_sq"]),
+                     "bias": convert_tensor("bias", st[1]["exp_avg_sq"])}}
+    return {
+        "step": int(float(st[0]["step"])),
+        "mu": mu,
+        "nu": nu,
+        "last_epoch": int(saved.get("lr_scheduler", {}).get("last_epoch", -1)),
+    }

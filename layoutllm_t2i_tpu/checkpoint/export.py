@@ -105,3 +105,79 @@ def export_gligen_checkpoint(
     if ema_unet_params is not None:
         ckpt["ema"] = tree_to_state_dict(ema_unet_params)
     torch.save(ckpt, path)
+
+
+def export_policy_checkpoint(path: str, policy_params) -> None:
+    """Write the policy linear as the reference ``ckpt_E.pt`` format —
+    ``torch.save(policy_model.linear.state_dict())`` (train_rl.py:218-219),
+    i.e. a bare ``{'weight': (out,in), 'bias': (out,)}`` dict the reference
+    ``txt2img.py:546-553`` load path (and our ``convert.load_policy``)
+    consumes."""
+    import torch  # noqa: F401  (tree_to_state_dict imports it too)
+
+    torch.save(tree_to_state_dict(policy_params["linear"]), path)
+
+
+def export_policy_state(path: str, opt_state, *, epoch: int, lr: float,
+                        lr_step_size: int, lr_gamma: float) -> None:
+    """Write ``state_E.pt`` in the reference layout (train_rl.py:220-222):
+    ``{'optimizer': Adam.state_dict(), 'lr_scheduler': StepLR.state_dict()}``.
+
+    The optax Adam moments map 1:1 onto torch Adam's (both keep the
+    *uncorrected* first/second moments and apply bias correction at step
+    time from 'step'), so a policy trained here resumes bit-equivalently
+    under the reference's ``train_rl.py:100-113`` resume path. Param ids
+    follow ``nn.Linear.parameters()`` order: 0=weight (transposed back to
+    (out,in)), 1=bias."""
+    import torch
+
+    adam = _find_adam_state(opt_state)
+    if adam is None:
+        raise ValueError("no ScaleByAdamState found in opt_state")
+    step = int(np.asarray(adam.count))
+    lin_mu, lin_nu = adam.mu["linear"], adam.nu["linear"]
+
+    def _t(name, a):
+        return torch.tensor(deconvert_tensor(name, np.asarray(a, np.float32)))
+
+    opt_sd = {
+        "state": {
+            0: {"step": torch.tensor(float(step)),
+                "exp_avg": _t("weight", lin_mu["weight"]),
+                "exp_avg_sq": _t("weight", lin_nu["weight"])},
+            1: {"step": torch.tensor(float(step)),
+                "exp_avg": _t("bias", lin_mu["bias"]),
+                "exp_avg_sq": _t("bias", lin_nu["bias"])},
+        },
+        "param_groups": [{
+            "lr": float(lr * lr_gamma ** (epoch // lr_step_size)),
+            "betas": (0.9, 0.999), "eps": 1e-8, "weight_decay": 0,
+            "amsgrad": False, "maximize": False, "foreach": None,
+            "capturable": False, "differentiable": False, "fused": None,
+            "params": [0, 1],
+        }],
+    }
+    sched_sd = {
+        "step_size": int(lr_step_size), "gamma": float(lr_gamma),
+        "base_lrs": [float(lr)], "last_epoch": int(epoch),
+        "_step_count": int(epoch) + 1, "verbose": False,
+        "_get_lr_called_within_step": False,
+        "_last_lr": [float(lr * lr_gamma ** (epoch // lr_step_size))],
+    }
+    torch.save({"optimizer": opt_sd, "lr_scheduler": sched_sd}, path)
+
+
+def _find_adam_state(state):
+    """Locate the ScaleByAdamState inside a (possibly wrapped) optax state."""
+    import optax
+
+    if isinstance(state, optax.ScaleByAdamState):
+        return state
+    if isinstance(state, (tuple, list)):
+        for s in state:
+            r = _find_adam_state(s)
+            if r is not None:
+                return r
+    if hasattr(state, "inner_state"):
+        return _find_adam_state(state.inner_state)
+    return None

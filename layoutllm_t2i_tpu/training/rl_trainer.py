@@ -31,6 +31,22 @@ from ..pipeline.planner import build_prompt, center2lefttop, extract_prediction
 from ..utils.logging import Logger, MetricsWriter
 
 
+def _restore_adam_moments(state, step, mu, nu):
+    """Rebuild an optax (possibly inject_hyperparams-wrapped) Adam state from
+    reference ``state_E.pt`` moments: both frameworks carry the uncorrected
+    first/second moments plus a step count, so the swap is exact."""
+    if isinstance(state, optax.ScaleByAdamState):
+        return state._replace(count=jnp.asarray(step, jnp.int32),
+                              mu=jax.tree.map(jnp.asarray, mu),
+                              nu=jax.tree.map(jnp.asarray, nu))
+    if hasattr(state, "inner_state"):
+        return state._replace(
+            inner_state=_restore_adam_moments(state.inner_state, step, mu, nu))
+    if isinstance(state, tuple) and not hasattr(state, "_fields"):
+        return tuple(_restore_adam_moments(s, step, mu, nu) for s in state)
+    return state
+
+
 @dataclasses.dataclass
 class RLConfig:
     epochs: int = 80
@@ -102,28 +118,63 @@ class RLTrainer:
     # -- ckpt ---------------------------------------------------------------
 
     def _save(self, epoch: int, tag: Optional[str] = None):
+        """Checkpoints in BOTH formats: the reference torch layout —
+        ``ckpt_E.pt`` (bare linear state_dict) + ``state_E.pt``
+        ({'optimizer','lr_scheduler'}), train_rl.py:218-222, so a policy
+        trained here feeds the reference txt2img/resume paths directly —
+        and the native ``.pkl`` pytree. Both are exact f32 round-trips."""
         os.makedirs(self.c.ckpt_path, exist_ok=True)
         import pickle
+
+        from ..checkpoint.export import (
+            export_policy_checkpoint,
+            export_policy_state,
+        )
 
         name = tag or f"ckpt_{epoch}"
         with open(os.path.join(self.c.ckpt_path, f"{name}.pkl"), "wb") as f:
             pickle.dump(jax.tree.map(np.asarray, self.params), f)
+        try:
+            export_policy_checkpoint(
+                os.path.join(self.c.ckpt_path, f"{name}.pt"), self.params)
+        except ImportError:  # torch-less deployment: native .pkl only
+            return
         if tag is None:
             with open(os.path.join(self.c.ckpt_path, f"state_{epoch}.pkl"), "wb") as f:
                 pickle.dump(jax.tree.map(np.asarray, self.opt_state), f)
+            export_policy_state(
+                os.path.join(self.c.ckpt_path, f"state_{epoch}.pt"),
+                self.opt_state, epoch=epoch, lr=self.c.lr,
+                lr_step_size=self.c.lr_step_size, lr_gamma=self.c.lr_gamma)
 
     def _resume(self, ckpt_dir: str) -> int:
+        """Resume from the newest epoch — native ``.pkl`` pairs or reference
+        ``.pt`` pairs (train_rl.py:100-113), whichever is present (a .pkl
+        state wins at equal epoch: it is the bit-exact optax pytree)."""
         import pickle
 
-        epochs = []
+        epochs = {}
         for fn in os.listdir(ckpt_dir):
-            if fn.startswith("state_") and fn.endswith(".pkl"):
-                epochs.append(int(fn[len("state_"):-len(".pkl")]))
+            for ext in (".pkl", ".pt"):
+                if fn.startswith("state_") and fn.endswith(ext):
+                    e = int(fn[len("state_"):-len(ext)])
+                    epochs.setdefault(e, set()).add(ext)
         max_epoch = max(epochs)
-        with open(os.path.join(ckpt_dir, f"ckpt_{max_epoch}.pkl"), "rb") as f:
-            self.params = pickle.load(f)
-        with open(os.path.join(ckpt_dir, f"state_{max_epoch}.pkl"), "rb") as f:
-            self.opt_state = pickle.load(f)
+        if ".pkl" in epochs[max_epoch]:
+            with open(os.path.join(ckpt_dir, f"ckpt_{max_epoch}.pkl"), "rb") as f:
+                self.params = pickle.load(f)
+            with open(os.path.join(ckpt_dir, f"state_{max_epoch}.pkl"), "rb") as f:
+                self.opt_state = pickle.load(f)
+        else:
+            from ..checkpoint.convert import load_policy, load_policy_state
+
+            self.params = jax.tree.map(
+                jnp.asarray, load_policy(
+                    os.path.join(ckpt_dir, f"ckpt_{max_epoch}.pt")))
+            st = load_policy_state(
+                os.path.join(ckpt_dir, f"state_{max_epoch}.pt"))
+            self.opt_state = _restore_adam_moments(
+                self.opt.init(self.params), st["step"], st["mu"], st["nu"])
         self.logger.write(f"resumed from {ckpt_dir} at epoch {max_epoch}")
         return max_epoch
 

@@ -80,11 +80,12 @@ def main():
         print(open(os.path.join(CKPT, "result.json")).read())
         return
 
-    # ---- shared weights + inputs, EXACTLY the test's construction order
+    # ---- shared weights + inputs: tests/parity_setup.py is the single
+    # source of truth for construction (ADVICE r4 — no duplication here)
     os.environ["LLT2I_FULL_PARITY"] = "1"  # test module skip-gates on this
     torch.manual_seed(0)  # test module does this at import time
-    from test_fullscale_parity import _our_cfg_sd14, _rand, _ref_unet_sd14, t2j
-    from test_perceptual_parity import _psnr, _ssim
+    import parity_setup as ps
+    from test_fullscale_parity import _our_cfg_sd14, t2j
     from test_reference_parity import (
         _run_our_trajectory,
         _run_reference_trajectory,
@@ -92,45 +93,21 @@ def main():
 
     rng = np.random.default_rng(7)
     _stamp("building torch UNet (SD-1.4 geometry) + VAE")
-    ref_unet = _ref_unet_sd14()
-
-    from ldm.models.autoencoder import AutoencoderKL
+    ref_unet, ref_vae = ps.build_models()
+    inp = ps.build_inputs(rng)
 
     from layoutllm_t2i_tpu.models.vae import VAEConfig, decode
-
-    ddconfig = dict(double_z=True, z_channels=4, resolution=256,
-                    in_channels=3, out_ch=3, ch=128, ch_mult=[1, 2, 4, 4],
-                    num_res_blocks=2, attn_resolutions=[], dropout=0.0)
-    ref_vae = AutoencoderKL(ddconfig, embed_dim=4, scale_factor=0.18215).eval()
-
-    noise = _rand(rng, 1, 64, 64, 4)
-    ctx = _rand(rng, 1, 77, 768)
-    uc = _rand(rng, 1, 77, 768)
-    boxes = np.zeros((1, 30, 4), np.float32)
-    boxes[0, 0] = [0.1, 0.3, 0.5, 0.9]
-    boxes[0, 1] = [0.55, 0.2, 0.9, 0.5]
-    masks = np.zeros((1, 30), np.float32)
-    masks[0, :2] = 1
-    emb = _rand(rng, 1, 30, 768)
-    rel = _rand(rng, 1, 10, 768)
-    sd_conv_w = _rand(rng, 320, 4, 3, 3, scale=0.05)
-    sd_conv_b = _rand(rng, 320, scale=0.05)
 
     # ---- phase 1+2: OUR trajectory + VAE decode (cheap side first)
     if not _have("ours_lat.npy"):
         _stamp("phase ours_lat: jax PLMS-50 trajectory (CPU, highest prec)")
         unet_params = t2j(ref_unet)
         cfg = _our_cfg_sd14()
-        from layoutllm_t2i_tpu.checkpoint.convert import convert_tensor
-
-        sd_conv = {
-            "weight": jnp.asarray(
-                convert_tensor("weight", torch.tensor(sd_conv_w))),
-            "bias": jnp.asarray(sd_conv_b),
-        }
+        sd_conv = ps.sd_conv_pytree(inp["sd_conv_w"], inp["sd_conv_b"])
         lat_ours = _run_our_trajectory(
-            unet_params, cfg, noise, ctx, uc, boxes, masks, emb, rel, sd_conv,
-            steps=50, guidance=7.5, alpha_type=(0.3, 0.0, 0.7))
+            unet_params, cfg, inp["noise"], inp["ctx"], inp["uc"],
+            inp["boxes"], inp["masks"], inp["emb"], inp["rel"], sd_conv,
+            **ps.SAMPLE)
         _save("ours_lat.npy", np.asarray(lat_ours))
     if not _have("ours_img.npy"):
         _stamp("phase ours_img: our VAE decode")
@@ -143,8 +120,9 @@ def main():
     if not _have("ref_lat.npy"):
         _stamp("phase ref_lat: torch PLMS-50 trajectory (~6-7 min/step here)")
         lat_ref = _run_reference_trajectory(
-            ref_unet, noise, ctx, uc, boxes, masks, emb, rel, sd_conv_w,
-            sd_conv_b, steps=50, guidance=7.5, alpha_type=(0.3, 0.0, 0.7))
+            ref_unet, inp["noise"], inp["ctx"], inp["uc"], inp["boxes"],
+            inp["masks"], inp["emb"], inp["rel"], inp["sd_conv_w"],
+            inp["sd_conv_b"], **ps.SAMPLE)
         _save("ref_lat.npy", np.asarray(lat_ref))
     if not _have("ref_img.npy"):
         _stamp("phase ref_img: torch AutoencoderKL decode")
@@ -153,16 +131,18 @@ def main():
         _save("ref_img.npy",
               np.clip(img_ref, -1, 1).transpose(0, 2, 3, 1) * 0.5 + 0.5)
 
-    # ---- compare
+    # ---- compare (gates from parity_setup — same ones the test asserts)
     img_ours, img_ref = _load("ours_img.npy"), _load("ref_img.npy")
     lat_err = float(np.max(np.abs(
         _load("ours_lat.npy").transpose(0, 3, 1, 2) - _load("ref_lat.npy"))))
+    psnr = ps.psnr(img_ours[0], img_ref[0])
+    ssim = ps.ssim(img_ours[0], img_ref[0])
     res = {
         "latent_max_abs": lat_err,
-        "psnr_db": round(_psnr(img_ours[0], img_ref[0]), 2),
-        "ssim": round(_ssim(img_ours[0], img_ref[0]), 4),
-        "pass": bool(_psnr(img_ours[0], img_ref[0]) >= 35.0
-                     and _ssim(img_ours[0], img_ref[0]) >= 0.95),
+        "psnr_db": round(psnr, 2),
+        "ssim": round(ssim, 4),
+        "pass": bool(psnr >= ps.PSNR_GATE_DB and ssim >= ps.SSIM_GATE
+                     and lat_err < ps.LATENT_GATE),
         "config": "512x512 PLMS-50 CFG-7.5 alpha[0.3,0,0.7], f32-highest",
     }
     with open(os.path.join(CKPT, "result.json"), "w") as f:

@@ -13,6 +13,7 @@ Aborts the remaining queue if a step fails with the pool-outage signature
 """
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
@@ -56,6 +57,15 @@ def main():
             if only and name not in only:
                 continue
             stamp = time.strftime("%H:%M:%S")
+            # analyze steps consume a trace dir a prior (exception-guarded)
+            # bench step may not have produced — skip with a clear message
+            # instead of a confusing analyze error (ADVICE r4)
+            if name.startswith("analyze_trace") and not os.path.isdir(cmd[-1]):
+                print(f"[{stamp}] -- {name}: SKIPPED (trace dir {cmd[-1]} "
+                      "missing — upstream bench step did not produce it)",
+                      flush=True)
+                log.write(f"[{stamp}] {name}: skipped, {cmd[-1]} missing\n")
+                continue
             print(f"[{stamp}] == {name}: {' '.join(cmd)}", flush=True)
             log.write(f"\n[{stamp}] == {name}: {' '.join(cmd)}\n")
             log.flush()
