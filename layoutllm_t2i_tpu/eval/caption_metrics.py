@@ -338,14 +338,24 @@ def meteor(candidates: List[str], references: List[List[str]],
 # (clip_score.py:243-263). This variant extracts (entity,), and
 # (subj, rel, obj) tuples with the same scene-graph parser the relation
 # conditioning uses (pipeline/scene_graph.py) and scores tuple F1 — the SPICE
-# definition over a lighter parser, labeled spice_lite.
+# definition over a lighter parser, labeled spice_lite. Java SPICE's tuples
+# are content words only (a dependency parse never emits 'the' as an
+# object), so the unigram stage drops function words; measured divergence
+# of the unfiltered variant is +0.12 on NSS1K pairs (scripts/spice_bound.py).
+
+_SPICE_STOPWORDS = frozenset(
+    "the and are was were with that this them they there then than has had "
+    "have his her its our your own one two few all any some each both very "
+    "not but for nor out off too who whom whose what when where which while "
+    "into onto over under above below from near next".split())
 
 
-def _caption_tuples(caption: str):
+def _caption_tuples(caption: str, keep_stopwords: bool = False):
     from ..pipeline.scene_graph import parse_triplets
 
     tokens = caption.lower().split()
-    tuples = {(t,) for t in tokens if len(t) > 2}
+    tuples = {(t,) for t in tokens
+              if len(t) > 2 and (keep_stopwords or t not in _SPICE_STOPWORDS)}
     for trip in parse_triplets(caption):
         tuples.add(tuple(trip.split()))
     return tuples

@@ -1,5 +1,9 @@
 """Caption metrics sanity: perfect match scores, orderings."""
+import os
+
 from layoutllm_t2i_tpu.eval.caption_metrics import bleu, cider_d, get_all_metrics, rouge_l
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bleu_perfect_and_zero():
@@ -114,6 +118,47 @@ def test_meteor_stages_monotone():
         s = meteor(cands, refs, stages=stages)
         assert s >= prev
         prev = s
+
+
+def test_spice_lite_stopword_filter_and_bound_invariants():
+    """spice_lite's unigram stage keeps content words only (Java SPICE's
+    dependency parse never emits 'the' as a tuple; the unfiltered variant
+    measured +0.12 inflation on NSS1K pairs — scripts/spice_bound.py, where
+    the parser-agreement bracket is [0.2373, 0.4472] with the shipped score
+    at lo+0.0113 and synonym headroom 0.0026)."""
+    from layoutllm_t2i_tpu.eval.caption_metrics import (
+        _caption_tuples,
+        spice_lite,
+    )
+
+    t = _caption_tuples("the dog sat near the couch")
+    assert ("the",) not in t and ("near",) not in t
+    assert ("dog",) in t and ("couch",) in t and ("sat",) in t
+    # keep_stopwords reproduces the pre-fix variant for the bound script
+    assert ("the",) in _caption_tuples("the dog", keep_stopwords=True)
+    # stopword-only agreement no longer scores
+    assert spice_lite(["the and that"], [["the and with"]]) == 0.0
+
+
+def test_spice_bound_script_figures():
+    """Pin the spice_bound.py methodology on a tiny in-test corpus: the
+    bracket brackets the shipped score, synonym matching can only add, and
+    stopword unigrams can only inflate (VERDICT r4 item 7)."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/spice_bound.py"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "LLT2I_SPICE_BOUND_MAX_PAIRS": "40"})
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["parser_bracket_lo"] <= out["spice_lite"] <= out["parser_bracket_hi"]
+    assert out["synonym_headroom"] >= 0
+    assert out["stopword_inflation"] >= 0
+    assert out["triplet_contribution"] == round(
+        out["spice_lite"] - out["parser_bracket_lo"], 4)
 
 
 def test_synonym_json_override(tmp_path):
