@@ -244,6 +244,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 26-min cold start (PERF.md r5)
 
     from ..pipeline.inference import InferencePipeline
     from ..pipeline.loaders import load_models_from_gligen_ckpt, random_models

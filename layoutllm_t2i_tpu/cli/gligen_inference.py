@@ -160,6 +160,9 @@ def _image_ref_grounding(args, models, cond):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 26-min cold start (PERF.md r5)
     box_mode = args.modality in ("box_text", "text_image")
     # validate modality inputs up front — model construction takes minutes
     if box_mode:

@@ -99,6 +99,9 @@ def main(argv=None):
                          "PERF.md round 4). Quality-gate with eval.nss1k "
                          "before production")
     args = ap.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 26-min cold start (PERF.md r5)
     if args.fast:
         apply_fast_preset(args)
 

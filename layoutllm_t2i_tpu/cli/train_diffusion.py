@@ -89,6 +89,9 @@ def _small_models():
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 26-min cold start (PERF.md r5)
     if args.multihost:
         import jax
 

@@ -49,6 +49,17 @@ def parse_args(argv=None):
                    help="converted full CLIPModel .pth for the reward towers")
     p.add_argument("--layout_cache", type=str, default=None)
     p.add_argument("--small", action="store_true", help="tiny random models (smoke)")
+    # rollout sampler config: the reference hardwires PLMS-50
+    # (interface.py:313-320); the REINFORCE reward only needs a decodable
+    # image per rollout, so the measured --fast preset (dpm20 + cfg-interval
+    # + enc-cache, PERF.md r4) makes on-chip RL ~3.3x cheaper per epoch
+    p.add_argument("--sampler", type=str, default="plms",
+                   choices=["plms", "ddim", "dpm"])
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--cfg_interval", type=str, default=None)
+    p.add_argument("--cache_encoder", type=int, default=0)
+    p.add_argument("--fast", action="store_true",
+                   help="rollout with the measured serving fast preset")
     return p.parse_args(argv)
 
 
@@ -97,6 +108,9 @@ def build_reward(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 26-min cold start (PERF.md r5)
     args.exp = args.exp + datetime.now().strftime("_%Y_%m_%d_%H_%M_%S")
     ckpt_path = os.path.join(args.ckpt_root, args.exp)
     os.makedirs(ckpt_path, exist_ok=True)
@@ -114,8 +128,17 @@ def main(argv=None):
         models = load_models_from_gligen_ckpt(args.diff_ckpt)
     else:
         models = random_models(small=args.small)
-    pipe = InferencePipeline(models, steps=50, sampler="plms", guidance_scale=7.5,
-                             alpha_type=(0.3, 0.0, 0.7))
+    if args.fast:
+        from .serve import apply_fast_preset
+
+        apply_fast_preset(args)
+    from ..pipeline.inference import parse_cfg_interval
+
+    pipe = InferencePipeline(
+        models, steps=args.steps or 50, sampler=args.sampler,
+        guidance_scale=7.5, alpha_type=(0.3, 0.0, 0.7),
+        encoder_cache_interval=args.cache_encoder or None,
+        cfg_interval=parse_cfg_interval(args.cfg_interval))
 
     def generate_fn(captions, layouts, seed=None):
         lay = [([convert_xywh_to_ltrb(b) for b in boxes], labels)

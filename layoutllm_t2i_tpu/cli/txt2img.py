@@ -177,6 +177,9 @@ def _get_pipe(args) -> InferencePipeline:
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 26-min cold start (PERF.md r5)
     np.random.seed(args.seed)
 
     categories, boxes_xywh = plan_layout(args)

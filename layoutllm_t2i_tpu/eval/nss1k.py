@@ -281,6 +281,9 @@ def main(argv=None):
                          "PERF.md round 4); explicit flags override the "
                          "preset pieces")
     args = ap.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # kills the 26-min cold start (PERF.md r5)
     assert args.data_path or args.data_dir, "need --data_path or --data_dir"
     if args.fast:
         resolve_fast_preset(args)

@@ -32,6 +32,11 @@ CONFIGS = [
     # (name, extra args, n_requests, concurrency)
     ("default_b4", ["--batch", "4"], 12, 4),
     ("fast_b4", ["--fast", "--batch", "4"], 12, 4),
+    # identical args re-run: with the persistent compile cache now on by
+    # default (PERF.md r5), the second launch's warmup_s IS the warm-restart
+    # cost (VERDICT r4 item 2). Run right after its cold twin.
+    ("fast_b4_warm", ["--fast", "--batch", "4"], 12, 4),
+    ("default_b4_warm", ["--batch", "4"], 12, 4),
 ]
 if os.environ.get("LLT2I_SERVE_BENCH_SMALL") == "1":  # CPU smoke of the
     # script mechanics (threads/healthz/metrics/SIGINT), not a measurement

@@ -71,7 +71,18 @@ def main():
     small = os.environ.get("LLT2I_SWEEP_SMALL", "0") == "1"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     t_setup = time.time()
-    models = random_models(seed=0, dtype=dtype, small=small)
+    ckpt = os.environ.get("LLT2I_SWEEP_CKPT")
+    if ckpt:
+        # round-5 structured-weights re-gate (VERDICT r4 item 3 / weak #3):
+        # score the approximate modes' PSNR-vs-exact with a TRAINED
+        # checkpoint (non-random weight statistics) instead of random init
+        from layoutllm_t2i_tpu.pipeline.loaders import (
+            load_models_from_gligen_ckpt,
+        )
+
+        models = load_models_from_gligen_ckpt(ckpt, dtype=dtype)
+    else:
+        models = random_models(seed=0, dtype=dtype, small=small)
     models_q = None  # lazily quantized once, shared by the int8 variants
 
     # (name, pipeline kwargs, batch, iters, int8, quality?) — quality rows

@@ -131,13 +131,16 @@ def test_fast_preset_resolution():
     from layoutllm_t2i_tpu.eval.nss1k import resolve_fast_preset
 
     def ns(**kw):
-        base = dict(sampler="plms", steps=50, cfg_interval=None, int8=False)
+        base = dict(sampler="plms", steps=50, cfg_interval=None,
+                    cache_encoder=0, int8=False)
         base.update(kw)
         return argparse.Namespace(**base)
 
     a = resolve_fast_preset(ns())
-    assert (a.sampler, a.steps, a.cfg_interval, a.int8) == (
-        "dpm", 20, "0.1,0.85", True)
+    # round-4 preset: dpm-20 + cfg interval + encoder cache 2; int8 is NOT
+    # part of the preset (measured as a speed loss on chip, PERF.md r4)
+    assert (a.sampler, a.steps, a.cfg_interval, a.cache_encoder, a.int8) == (
+        "dpm", 20, "0.1,0.85", 2, False)
     # explicit steps survive the preset
     a = resolve_fast_preset(ns(steps=30))
     assert a.sampler == "dpm" and a.steps == 30
