@@ -68,17 +68,39 @@ def main():
                 and e.get("args", {}).get("name") == "XLA Ops"):
             ops_tids.add((e["pid"], e["tid"]))
 
-    per_op = defaultdict(float)
-    per_bucket = defaultdict(float)
-    total = 0.0
+    # SELF time per op: events on an XLA-Ops tid nest (while/cond parents
+    # span their body ops), so raw durations double-count — a while.N
+    # parent would swallow 70%+ of the "other" bucket (r5 fix). Walk each
+    # tid's events in start order with a stack and charge child durations
+    # back to the parent.
+    by_tid = defaultdict(list)
     for e in ev:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in ops_tids:
             continue
-        dur = e.get("dur", 0) / 1000.0  # us -> ms
-        name = e.get("name", "?")
-        per_op[name] += dur
-        per_bucket[bucket_of(name)] += dur
-        total += dur
+        by_tid[(e["pid"], e["tid"])].append(
+            (e.get("ts", 0.0), e.get("dur", 0.0), e.get("name", "?")))
+
+    per_op = defaultdict(float)
+    per_bucket = defaultdict(float)
+    total = 0.0
+    for evs in by_tid.values():
+        evs.sort(key=lambda t: (t[0], -t[1]))
+        stack = []  # [end_ts, child_dur_accum, name, dur]
+        def _pop():
+            nonlocal total
+            end, child, name, dur = stack.pop()
+            self_ms = max(dur - child, 0.0) / 1000.0
+            per_op[name] += self_ms
+            per_bucket[bucket_of(name)] += self_ms
+            total += self_ms
+        for ts, dur, name in evs:
+            while stack and ts >= stack[-1][0] - 1e-9:
+                _pop()
+            if stack:
+                stack[-1][1] += dur
+            stack.append([ts + dur, 0.0, name, dur])
+        while stack:
+            _pop()
 
     print(f"trace: {path}\ntotal XLA-Ops device time: {total:.1f} ms\n")
     print("== buckets ==")

@@ -171,9 +171,15 @@ def main():
                 os.environ["LLT2I_FFN_INT8"] = "1"
             else:
                 os.environ.pop("LLT2I_FFN_INT8", None)
+            # r5: LLT2I_SWEEP_VAE_CHUNK overrides the large-batch decode
+            # chunk (VERDICT r4 item 6 — harder chunking as the first
+            # b=12/16 remote-compile-OOM lever)
+            _vck = os.environ.get("LLT2I_SWEEP_VAE_CHUNK")
+            vae_chunk = (int(_vck) if _vck and b > 8
+                         else {12: 6, 16: 8}.get(b))
             pipe = InferencePipeline(mdl, guidance_scale=7.5,
                                      alpha_type=(0.3, 0.0, 0.7),
-                                     vae_chunk={12: 6, 16: 8}.get(b),
+                                     vae_chunk=vae_chunk,
                                      **pkw)
             if b not in cond_cache:
                 prompts = ["a dog chasing a frisbee in a park"] * b
