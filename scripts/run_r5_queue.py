@@ -64,6 +64,10 @@ STEPS = [
     ("sweep_b1216", [PY, "scripts/sweep_r4.py", "b12", "b16"],
      {"LLT2I_SWEEP_OUT": "/tmp/sweep_r5_b1216.jsonl",
       "LLT2I_SWEEP_VAE_CHUNK": "2"}),
+    # VERDICT item 6 second half: name where the b=1 program's 28.9% MFU
+    # goes — capture its device trace for analyze_trace.py
+    ("bench_b1_trace", [PY, "bench.py", "--latency",
+                        "--trace", "/tmp/trace_b1"], {}),
 ]
 
 
