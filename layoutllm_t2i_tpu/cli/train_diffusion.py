@@ -27,6 +27,12 @@ def parse_args(argv=None):
                    choices=["constant", "cosine"])
     p.add_argument("--trainable_mode", type=str, default="rela_fuse",
                    choices=["rela_fuse", "gligen", "all"])
+    p.add_argument("--optimizer", type=str, default="adamw",
+                   choices=["adamw", "sgd"],
+                   help="sgd keeps zero optimizer state — required for "
+                        "--trainable_mode all on one 16 GB chip (AdamW's "
+                        "f32 moments for the 860M-param UNet OOM; use "
+                        "--zero1 + a mesh for multi-chip Adam finetunes)")
     p.add_argument("--ckpt_path", type=str, default=None)
     p.add_argument("--coco_root", type=str, default=None)
     p.add_argument("--image_size", type=int, default=512)
@@ -102,7 +108,8 @@ def main(argv=None):
         total_iters=args.total_iters, save_every_iters=args.save_every_iters,
         base_learning_rate=args.base_learning_rate, weight_decay=args.weight_decay,
         warmup_steps=args.warmup_steps, scheduler_type=args.scheduler_type,
-        trainable_mode=args.trainable_mode, max_boxes=args.max_boxes,
+        trainable_mode=args.trainable_mode, optimizer=args.optimizer,
+        max_boxes=args.max_boxes,
         max_relations=args.max_relations, seed=args.seed, ckpt_path=args.ckpt_path,
         disable_inference_in_training=not args.enable_previews,
         preview_steps=args.preview_steps,

@@ -56,6 +56,7 @@ class TrainerConfig:
     warmup_steps: int = 10_000
     scheduler_type: str = "constant"
     trainable_mode: str = "rela_fuse"
+    optimizer: str = "adamw"  # sgd = zero opt state (single-chip 'all' mode)
     max_boxes: int = 30
     max_relations: int = 10
     seed: int = 123
@@ -134,6 +135,7 @@ class DiffusionTrainer:
             unet_cfg=self.unet_cfg,
             schedule=self.schedule,
             trainable_mode=config.trainable_mode,
+            optimizer=config.optimizer,
             learning_rate=config.base_learning_rate,
             weight_decay=config.weight_decay,
             warmup_steps=config.warmup_steps,

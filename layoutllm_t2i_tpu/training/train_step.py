@@ -83,22 +83,36 @@ class TrainStepConfig:
     # batch_size/num_gpus slice, GLIGEN/main.py:59-65). Requires
     # batch_size % accum_steps == 0.
     accum_steps: int = 1
+    # adamw (reference, trainer_combined_layout.py:265) or sgd. sgd keeps
+    # ZERO optimizer state — required for --trainable_mode all on a 16 GB
+    # chip, where AdamW's f32 moments for the full 860M-param UNet
+    # (~6.9 GB) blow HBM (measured RESOURCE_EXHAUSTED, round 5)
+    optimizer: str = "adamw"
+
+
+def _lr_schedule(cfg: TrainStepConfig):
+    if cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps, cfg.total_steps
+        )
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+            optax.constant_schedule(cfg.learning_rate),
+        ],
+        [cfg.warmup_steps],
+    )
+
+
+def _base_tx(cfg: TrainStepConfig):
+    sched = _lr_schedule(cfg)
+    if cfg.optimizer == "sgd":
+        return optax.sgd(sched)
+    return optax.adamw(sched, weight_decay=cfg.weight_decay)
 
 
 def make_optimizer(cfg: TrainStepConfig, params):
-    if cfg.lr_schedule == "cosine":
-        sched = optax.warmup_cosine_decay_schedule(
-            0.0, cfg.learning_rate, cfg.warmup_steps, cfg.total_steps
-        )
-    else:
-        sched = optax.join_schedules(
-            [
-                optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
-                optax.constant_schedule(cfg.learning_rate),
-            ],
-            [cfg.warmup_steps],
-        )
-    tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    tx = _base_tx(cfg)
     predicate = TRAINABLE_MODES[cfg.trainable_mode]
     labels = jax.tree_util.tree_map_with_path(
         lambda path, _: "train" if predicate(path) else "freeze", params
@@ -205,19 +219,7 @@ def combine_params(trainable, frozen):
 
 
 def make_partitioned_optimizer(cfg: TrainStepConfig):
-    if cfg.lr_schedule == "cosine":
-        sched = optax.warmup_cosine_decay_schedule(
-            0.0, cfg.learning_rate, cfg.warmup_steps, cfg.total_steps
-        )
-    else:
-        sched = optax.join_schedules(
-            [
-                optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
-                optax.constant_schedule(cfg.learning_rate),
-            ],
-            [cfg.warmup_steps],
-        )
-    return optax.adamw(sched, weight_decay=cfg.weight_decay)
+    return _base_tx(cfg)
 
 
 def init_partitioned_state(cfg: TrainStepConfig, params):

@@ -38,11 +38,16 @@ STRUCT_CKPT = "/tmp/OUT_r5/struct_r5/tag00/checkpoint_00000300.pth"
 STEPS = [
     ("bench_dual_cold", [PY, "bench.py"], {}),
     ("bench_dual_warm", [PY, "bench.py"], {}),
+    # --optimizer sgd: AdamW moments for the full-finetune mode OOM a 16 GB
+    # chip (measured RESOURCE_EXHAUSTED, /tmp/onchip_r5.log 09:57); sgd
+    # keeps zero opt state and still moves every weight off random init,
+    # which is all the structured-weights re-gate needs
     ("train_struct", [PY, "-m", "layoutllm_t2i_tpu.cli.train_diffusion",
                       "--name", "struct_r5", "--output_root", "/tmp/OUT_r5",
                       "--synthetic", "--batch_size", "4",
                       "--total_iters", "300", "--save_every_iters", "300",
                       "--warmup_steps", "20", "--trainable_mode", "all",
+                      "--optimizer", "sgd", "--base_learning_rate", "5e-4",
                       "--mixed_precision", "--export_reference_ckpt"], {}),
     ("sweep_struct", [PY, "scripts/sweep_r4.py", "base", "dpm20", "cfgmid",
                       "enc2", "fast2", "fast15"],
