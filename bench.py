@@ -134,7 +134,10 @@ def main():
     from layoutllm_t2i_tpu.utils.flops import count_fn_flops, mfu, peak_tflops
     from layoutllm_t2i_tpu.utils.trees import jitted_init
 
+    t_claim = time.perf_counter()
     on_tpu = jax.default_backend() == "tpu"
+    print(f"[bench] backend claim {time.perf_counter() - t_claim:.1f}s "
+          f"({jax.devices()[0]})", flush=True)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     if args.small:
@@ -263,9 +266,14 @@ def main():
             total_flops = None
         # warmup / compile (same scan length so only ONE program is
         # compiled); fetch VALUES, not just block_until_ready — the remote
-        # tunnel can return from block_until_ready before execution finishes
+        # tunnel can return from block_until_ready before execution finishes.
+        # The compile+warmup wall is printed per mode so warm-vs-cold runs
+        # decompose (persistent-cache A/Bs, PERF.md r5)
+        t_c = time.perf_counter()
         sums, _ = run_all(*args_all, noises)
         float(np.asarray(sums).sum())
+        print(f"[bench] compile+warmup {time.perf_counter() - t_c:.1f}s",
+              flush=True)
 
         t0 = time.perf_counter()
         sums, img_last = run_all(*args_all, noises_timed)

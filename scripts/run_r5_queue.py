@@ -33,7 +33,19 @@ import time
 
 LOG = "/tmp/onchip_r5.log"
 PY = sys.executable
-STRUCT_CKPT = "/tmp/OUT_r5/struct_r5/tag00/checkpoint_00000300.pth"
+
+
+def _struct_ckpt():
+    """Newest exported .pth from the train_struct run (the trainer
+    auto-resumes into a fresh tagNN each launch)."""
+    import glob
+
+    paths = sorted(glob.glob("/tmp/OUT_r5/struct_r5/tag*/checkpoint_*.pth"),
+                   key=os.path.getmtime)
+    return paths[-1] if paths else ""
+
+
+STRUCT_CKPT = _struct_ckpt() or "/tmp/OUT_r5/struct_r5/tag00/checkpoint_00000300.pth"
 
 STEPS = [
     ("bench_dual_cold", [PY, "bench.py"], {}),
