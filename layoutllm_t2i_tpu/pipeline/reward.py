@@ -9,7 +9,6 @@ stays on host (scipy) since layouts are tiny.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, List, Sequence, Tuple
 
 import numpy as np
@@ -52,13 +51,17 @@ class RewardModel:
     tokenizer: Any
 
     def __post_init__(self):
-        self._text_feat = jax.jit(partial(clip_text_features, self.text_params, self.text_cfg))
+        # params are jit ARGUMENTS, not closure constants: closed-over weight
+        # pytrees get baked into the HLO as literals, which blows up the
+        # axon remote-compile upload (the diffusion trainer hit HTTP 413 on
+        # exactly this, PERF.md r3) — same idiom as pipeline/inference.py
+        self._text_feat = jax.jit(
+            lambda p, ids: clip_text_features(p, self.text_cfg, ids))
         self._image_feat = jax.jit(
-            lambda imgs: clip_image_features(
-                self.vision_params, self.vision_cfg,
-                preprocess_images(imgs, self.vision_cfg))
+            lambda p, imgs: clip_image_features(
+                p, self.vision_cfg, preprocess_images(imgs, self.vision_cfg))
         )
-        self._aesthetic = jax.jit(partial(aesthetic_apply, self.aesthetic_params))
+        self._aesthetic = jax.jit(aesthetic_apply)
         self.label2index = {l: i for i, l in enumerate(COCO80_LABELS)}
         labels_emb = self.text_features(COCO80_LABELS)
         self.labels_emb = np.asarray(l2_normalize(labels_emb))
@@ -68,11 +71,12 @@ class RewardModel:
 
     def text_features(self, texts: List[str]) -> jnp.ndarray:
         ids = self.tokenizer(texts)
-        return self._text_feat(jnp.asarray(ids))
+        return self._text_feat(self.text_params, jnp.asarray(ids))
 
     def image_features(self, images: np.ndarray) -> jnp.ndarray:
         """images: (B, H, W, 3) float in [0, 1]."""
-        return self._image_feat(jnp.asarray(images, dtype=jnp.float32))
+        return self._image_feat(self.vision_params,
+                                jnp.asarray(images, dtype=jnp.float32))
 
     # -- open-vocab label mapping (policy.py:84-102) ------------------------
 
@@ -108,7 +112,7 @@ class RewardModel:
         sims_ii = jnp.sum(fg * fp, axis=-1)
         clip_reward = np.asarray(sims_ti + sims_ii)
 
-        aes = np.asarray(self._aesthetic(l2_normalize(fp)))
+        aes = np.asarray(self._aesthetic(self.aesthetic_params, l2_normalize(fp)))
 
         pred_ids = self._layout_ids(layout_pred, close_set=True)
         gt_ids = self._layout_ids(layout_gt, close_set=False)
