@@ -36,7 +36,8 @@ FAST_MODULES = {
     "test_dtype_policy.py", "test_fid.py", "test_flops.py",
     "test_grounding_extras.py", "test_metrics.py", "test_modalities.py",
     "test_planner.py", "test_relation.py", "test_resnet.py",
-    "test_reward.py", "test_scene_graph_stats.py", "test_schedules.py",
+    "test_reward.py", "test_rl_fixture.py", "test_scene_graph_stats.py",
+    "test_schedules.py",
     "test_tokenizer.py", "test_unet.py", "test_vae.py",
 }
 
