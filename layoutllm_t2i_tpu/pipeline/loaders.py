@@ -19,7 +19,25 @@ from ..utils.trees import cast_floating, jitted_init
 from .inference import GligenModels
 
 
+def _dataclass_from_dict(cls, d: dict):
+    """Construct ``cls`` from a dict, keeping only known fields (forward
+    compat with configs written by newer trainers) and re-tupling lists
+    (dataclasses.asdict turns tuples into lists; configs are hashed as jit
+    statics so they must round-trip hashable)."""
+    import dataclasses
+
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kw = {}
+    for k, v in d.items():
+        if k in fields:
+            kw[k] = tuple(v) if isinstance(v, list) else v
+    return cls(**kw)
+
+
 def _unet_cfg_from_config_dict(config: Optional[dict]) -> UNetConfig:
+    # our own trainer embeds the full dataclass (diffusion_trainer.save_ckpt)
+    if isinstance(config, dict) and isinstance(config.get("unet_cfg"), dict):
+        return _dataclass_from_dict(UNetConfig, config["unet_cfg"])
     try:
         p = config["model"]["params"]
         return UNetConfig(
@@ -58,13 +76,35 @@ def load_models_from_gligen_ckpt(ckpt_path: str, sd_first_conv_path: Optional[st
     params, config, _ = load_gligen_checkpoint(ckpt_path)
     dtype = dtype or (jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
     sd_conv = load_sd_first_conv(sd_first_conv_path) if sd_first_conv_path else None
+    if sd_conv is not None:
+        sd_conv = jax.tree.map(jax.device_put, sd_conv)
+
+    def _dev(tree):
+        # converted ckpts arrive as HOST numpy arrays; without an up-front
+        # uncommitted device_put every jitted dispatch re-transfers the full
+        # weight tree (measured 3.2x throughput loss through the axon tunnel
+        # at SD scale: 0.317 vs 1.003 img/s, PERF.md r5 structured-weights
+        # gate). random_models never hits this (jitted_init outputs live on
+        # device). device_put with no device keeps arrays uncommitted so the
+        # sharded/TP paths can still reshard them.
+        return jax.tree.map(jax.device_put, cast_floating(tree, dtype))
+
+    # reference GLIGEN ckpts always pair SD's full-size CLIP/VAE (defaults);
+    # our own trainer's exports embed the exact module configs, so non-default
+    # geometries (--small smoke ckpts) round-trip too
+    vae_cfg = (_dataclass_from_dict(VAEConfig, config["vae_cfg"])
+               if isinstance(config, dict) and isinstance(config.get("vae_cfg"), dict)
+               else VAEConfig())
+    clip_cfg = (_dataclass_from_dict(CLIPTextConfig, config["clip_cfg"])
+                if isinstance(config, dict) and isinstance(config.get("clip_cfg"), dict)
+                else CLIPTextConfig())
     return GligenModels(
         unet_cfg=_unet_cfg_from_config_dict(config),
-        unet_params=cast_floating(params["unet"], dtype),
-        vae_cfg=VAEConfig(),
-        vae_params=cast_floating(params["vae"], dtype),
-        clip_cfg=CLIPTextConfig(),
-        clip_params=cast_floating(params["clip_text"], dtype),
+        unet_params=_dev(params["unet"]),
+        vae_cfg=vae_cfg,
+        vae_params=_dev(params["vae"]),
+        clip_cfg=clip_cfg,
+        clip_params=_dev(params["clip_text"]),
         schedule=_schedule_from_config_dict(config),
         tokenizer=tokenizer or default_tokenizer(),
         sd_first_conv=sd_conv,

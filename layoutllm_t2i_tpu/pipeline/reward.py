@@ -51,6 +51,12 @@ class RewardModel:
     tokenizer: Any
 
     def __post_init__(self):
+        # converted-ckpt params arrive as host numpy; an uncommitted
+        # device_put up front stops every jitted call re-transferring the
+        # towers (same bug class as the ckpt loader's 3.2x loss, PERF.md r5)
+        self.text_params = jax.tree.map(jax.device_put, self.text_params)
+        self.vision_params = jax.tree.map(jax.device_put, self.vision_params)
+        self.aesthetic_params = jax.tree.map(jax.device_put, self.aesthetic_params)
         # params are jit ARGUMENTS, not closure constants: closed-over weight
         # pytrees get baked into the HLO as literals, which blows up the
         # axon remote-compile upload (the diffusion trainer hit HTTP 413 on

@@ -418,6 +418,12 @@ class DiffusionTrainer:
         payload = {"state": host_state, "iters": iter_name}
         cfg_dict = dataclasses.asdict(self.config)
         cfg_dict["unet_cfg"] = dataclasses.asdict(self.unet_cfg)
+        # embed ALL module configs: the ckpt is the load-time source of truth
+        # (trainer_combined_layout.py:523-535 semantics) — without these a
+        # non-default (e.g. --small) export can't round-trip through
+        # load_models_from_gligen_ckpt (full-size CLIP/VAE get assumed)
+        cfg_dict["vae_cfg"] = dataclasses.asdict(self.vae_cfg)
+        cfg_dict["clip_cfg"] = dataclasses.asdict(self.clip_cfg)
         path = os.path.join(self.run_dir, f"checkpoint_{iter_name:08d}")
         export_args = None
         if self.config.export_reference_ckpt:
