@@ -108,14 +108,16 @@ def main():
                 or args.sampler != "plms" or args.steps != 50
                 or args.cfg_interval is not None or args.cache_encoder != 0)
     if args.fast:
+        from layoutllm_t2i_tpu.pipeline import presets
+
         if args.sampler == "plms":
-            args.sampler = "dpm"
+            args.sampler = presets.FAST_SAMPLER
             if args.steps == 50:
-                args.steps = 20
+                args.steps = presets.FAST_STEPS
         if args.cfg_interval is None:
-            args.cfg_interval = "0.1,0.85"
+            args.cfg_interval = presets.fast_cfg_interval_str()
         if args.cache_encoder == 0:
-            args.cache_encoder = 2
+            args.cache_encoder = presets.FAST_CACHE_ENCODER
         metric_suffix = "_fast"
     else:
         metric_suffix = ""
@@ -335,9 +337,12 @@ def main():
         # path failure (compile blip, pool hiccup on the second program)
         # must never cost the exact headline the driver records.
         try:
-            pipe_fast = make_pipe(steps=20, sampler="dpm",
-                                  cfg_interval=(0.1, 0.85),
-                                  encoder_cache_interval=2)
+            from layoutllm_t2i_tpu.pipeline import presets
+
+            pipe_fast = make_pipe(steps=presets.FAST_STEPS,
+                                  sampler=presets.FAST_SAMPLER,
+                                  cfg_interval=presets.FAST_CFG_INTERVAL,
+                                  encoder_cache_interval=presets.FAST_CACHE_ENCODER)
             frec, img_fast = measure(
                 pipe_fast,
                 trace_dir=args.trace + "/fast" if args.trace else None)

@@ -37,27 +37,8 @@ class TPPipeAdapter:
             seed=seed, seeds=seeds, style=self._style, **cond_kwargs)
 
 
-def apply_fast_preset(args):
-    """--fast = dpm-20 + guidance interval 0.1,0.85 + encoder cache 2, with
-    any explicitly passed --sampler/--steps/--cfg_interval/--cache_encoder
-    left untouched (argparse defaults are plms/None/None/0, so a non-default
-    value means the user chose it).
-
-    int8 is NOT part of the preset: the round-4 on-chip sweep measured it
-    as a speed LOSS at both b=8 throughput (-4.9%) and b=1 latency (-3.2%)
-    — at 512² even batch 1 is activation-bound, so the dequant epilogue
-    costs more than the halved weight traffic saves (PERF.md round 4).
-    It stays an explicit --int8 opt-in for HBM-footprint-constrained
-    deployments."""
-    if args.sampler == "plms":
-        args.sampler = "dpm"
-        if args.steps is None:
-            args.steps = 20
-    if args.cfg_interval is None:
-        args.cfg_interval = "0.1,0.85"
-    if args.cache_encoder == 0:
-        args.cache_encoder = 2
-    return args
+# single source of truth for the preset knobs: pipeline/presets.py
+from ..pipeline.presets import apply_fast_preset  # noqa: F401  (re-export)
 
 
 def main(argv=None):

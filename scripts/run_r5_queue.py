@@ -72,6 +72,14 @@ STEPS = [
                    "--layout_cache", "/tmp/rl_sd/layout_cache.json",
                    "--epochs", "2", "--batch_size", "4", "--fast",
                    "--ckpt_root", "/tmp/rl_sd/ckpt", "--exp", "onchip"], {}),
+    # second structured-weights pass: sweep_struct showed fast2 degrades
+    # 32.1 -> 27.8 dB with non-random weights (cfg-interval is the mover);
+    # fastq (tail-cut CFG 0,0.75) and cfg75 alone measured 36.1 / 53.9 dB
+    # under random weights — re-gate them structured before re-deciding
+    # the --fast preset
+    ("sweep_struct2", [PY, "scripts/sweep_r4.py", "base", "fastq", "cfg75"],
+     {"LLT2I_SWEEP_CKPT": STRUCT_CKPT,
+      "LLT2I_SWEEP_OUT": "/tmp/sweep_r5_struct2.jsonl"}),
     ("nss1k_exact", [PY, "-m", "layoutllm_t2i_tpu.eval.nss1k",
                      "--data_dir", "/root/reference/data",
                      "--batch_size", "8"], {}),
