@@ -14,7 +14,7 @@ stay resident, the second compile is the only extra cost):
   * the exact PLMS-50 config — `value` / `vs_baseline` (unchanged lineage
     since round 1), and
   * the `--fast` serving preset (DPM-Solver++ 20 steps + CFG interval
-    0.1,0.85 + encoder cache 2; VERDICT r3 item 1's "second headline") —
+    0,0.75 tail-cut + encoder cache 2; VERDICT r3 item 1's "second headline") —
     `fast_*` fields, including a LIVE quality gate: both configs sample
     the same final noise with the same weights, and `fast_psnr_vs_exact_db`
     is the PSNR between their decoded 512² images, measured fresh on every
@@ -89,7 +89,7 @@ def main():
                          "program with explicit shardings")
     ap.add_argument("--fast", action="store_true",
                     help="serving fast preset ONLY: DPM-Solver++ 20 steps + "
-                         "CFG interval 0.1,0.85 + encoder cache 2 (int8 "
+                         "CFG interval 0,0.75 + encoder cache 2 (int8 "
                          "measured as a LOSS at both b=8 and b=1 and is not "
                          "included). Explicit flags override preset pieces. "
                          "The default invocation already measures this "

@@ -73,7 +73,7 @@ def main(argv=None):
                          "(arXiv:2404.07724), e.g. 0.1,0.85 (paper-faithful: high-noise steps off)")
     ap.add_argument("--fast", action="store_true",
                     help="serving speed preset: DPM-Solver++ 20 steps + "
-                         "guidance interval 0.1,0.85 + encoder cache 2 "
+                         "guidance interval 0,0.75 + encoder cache 2 "
                          "(explicit --steps/--sampler/--cfg_interval/"
                          "--cache_encoder flags override the preset pieces; "
                          "int8 is excluded — measured as a loss on chip, "

@@ -276,7 +276,7 @@ def main(argv=None):
                          "serving config (arXiv:2211.01095)")
     ap.add_argument("--fast", action="store_true",
                     help="score the exact `serve --fast` preset (dpm-20 + "
-                         "cfg interval 0.1,0.85 + encoder cache 2; int8 was "
+                         "cfg interval 0,0.75 + encoder cache 2; int8 was "
                          "retired from the preset — measured slower on chip, "
                          "PERF.md round 4); explicit flags override the "
                          "preset pieces")
