@@ -135,6 +135,13 @@ def main():
         # fast2, this is a much better quality x speed point
         ("fastq", dict(steps=20, sampler="dpm", cfg_interval=(0.0, 0.75),
                        encoder_cache_interval=2), B, IT, False),
+        # round-5: the tail-cut proved weight-insensitive (36.1 dB random
+        # AND structured), so re-try the aggressive points that failed the
+        # gate under the mid-cut: dpm-15 and enc3 composed with (0, 0.75)
+        ("fastq15", dict(steps=15, sampler="dpm", cfg_interval=(0.0, 0.75),
+                         encoder_cache_interval=2), B, IT, False),
+        ("fastq3", dict(steps=20, sampler="dpm", cfg_interval=(0.0, 0.75),
+                        encoder_cache_interval=3), B, IT, False),
     ]
     only = set(sys.argv[1:])
 
