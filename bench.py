@@ -13,7 +13,7 @@ The default invocation measures BOTH headlines in one process (weights
 stay resident, the second compile is the only extra cost):
   * the exact PLMS-50 config — `value` / `vs_baseline` (unchanged lineage
     since round 1), and
-  * the `--fast` serving preset (DPM-Solver++ 20 steps + CFG interval
+  * the `--fast` serving preset (DPM-Solver++ 15 steps + CFG interval
     0,0.75 tail-cut + encoder cache 2; VERDICT r3 item 1's "second headline") —
     `fast_*` fields, including a LIVE quality gate: both configs sample
     the same final noise with the same weights, and `fast_psnr_vs_exact_db`
@@ -88,7 +88,7 @@ def main():
                          "scaling mode; on one chip it compiles the same "
                          "program with explicit shardings")
     ap.add_argument("--fast", action="store_true",
-                    help="serving fast preset ONLY: DPM-Solver++ 20 steps + "
+                    help="serving fast preset ONLY: DPM-Solver++ 15 steps + "
                          "CFG interval 0,0.75 + encoder cache 2 (int8 "
                          "measured as a LOSS at both b=8 and b=1 and is not "
                          "included). Explicit flags override preset pieces. "
@@ -368,17 +368,26 @@ def _run_with_outage_retry():
     import os
     import sys
 
+    # transient remote-backend signatures worth a bounded re-exec:
+    #   UNAVAILABLE              — pool claim blip (~25 min to surface)
+    #   response body closed ... — tunnel dropped a remote_compile reply
+    #                              mid-read (observed 2026-08-21, one-off)
+    _TRANSIENT = ("UNAVAILABLE", "response body closed before all bytes")
+
     try:
         main()
     except RuntimeError as e:
-        if "UNAVAILABLE" not in str(e):
+        sig = next((t for t in _TRANSIENT if t in str(e)), None)
+        if sig is None:
             raise
         tries = int(os.environ.get("LLT2I_BENCH_RETRY", "0"))
         if tries >= 2:
             raise
-        print(f"[bench] pool UNAVAILABLE (attempt {tries + 1}); "
-              "sleeping 300s and retrying", file=sys.stderr, flush=True)
-        time.sleep(300)
+        wait = 300 if sig == "UNAVAILABLE" else 30
+        print(f"[bench] transient backend error [{sig}] (attempt "
+              f"{tries + 1}); sleeping {wait}s and retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(wait)
         os.environ["LLT2I_BENCH_RETRY"] = str(tries + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
 

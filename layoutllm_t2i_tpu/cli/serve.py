@@ -72,7 +72,7 @@ def main(argv=None):
                     help="LO,HI step fractions where CFG applies "
                          "(arXiv:2404.07724), e.g. 0.1,0.85 (paper-faithful: high-noise steps off)")
     ap.add_argument("--fast", action="store_true",
-                    help="serving speed preset: DPM-Solver++ 20 steps + "
+                    help="serving speed preset: DPM-Solver++ 15 steps + "
                          "guidance interval 0,0.75 + encoder cache 2 "
                          "(explicit --steps/--sampler/--cfg_interval/"
                          "--cache_encoder flags override the preset pieces; "

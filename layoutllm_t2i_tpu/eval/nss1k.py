@@ -275,7 +275,7 @@ def main(argv=None):
                     help="dpm + --steps 20: quality-gate the few-step "
                          "serving config (arXiv:2211.01095)")
     ap.add_argument("--fast", action="store_true",
-                    help="score the exact `serve --fast` preset (dpm-20 + "
+                    help="score the exact `serve --fast` preset (dpm-15 + "
                          "cfg interval 0,0.75 + encoder cache 2; int8 was "
                          "retired from the preset — measured slower on chip, "
                          "PERF.md round 4); explicit flags override the "

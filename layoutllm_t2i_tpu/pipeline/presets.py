@@ -9,20 +9,23 @@ Current preset (decided on-chip, PERF.md rounds 4-5):
   every 2nd step. int8 is NOT included — measured as a throughput LOSS at
   512² (PERF.md round 4: -4.9% b=8, -3.2% b=1).
 
-The guidance interval is the preset's dominant quality knob, decided by
-the round-5 structured-weights re-gate (300 on-chip training iters off
-random init; perf_data/sweep_r5_struct{,2}.jsonl): the round-4 mid-cut
-(0.1, 0.85) preset measured 32.1 dB PSNR-vs-exact with random weights
-but degraded to 27.8 dB with structured ones, while the tail-cut
-(0.0, 0.75) preset is weight-INSENSITIVE — 36.1 dB random AND 36.1 dB
-structured — at a 2.3% throughput cost (3.251 vs 3.328 img/s/chip).
-A production preset's quality gate must survive real weights, so the
-tail-cut is the preset (PERF.md round 5).
+The preset was decided by the round-5 structured-weights re-gate (300
+on-chip training iters off random init; perf_data/sweep_r5_struct{,2,3}
+.jsonl). Two findings drive it:
+  1. The guidance-interval choice must survive real weights: the
+     round-4 mid-cut (0.1, 0.85) measured 32.1 dB PSNR-vs-exact with
+     random weights but degraded to 27.8 dB structured, while the
+     tail-cut (0.0, 0.75) is weight-INSENSITIVE (36.1 dB random AND
+     structured).
+  2. Under the tail-cut, the aggressive dpm-15 point passes the gate it
+     failed under the mid-cut: fastq15 = dpm-15 + (0,0.75) + enc2
+     measures 4.144 img/s/chip at 35.4 dB structured (vs dpm-20's
+     3.251 at 36.1) — +27% speed for 0.7 dB.
 """
 from __future__ import annotations
 
 FAST_SAMPLER = "dpm"
-FAST_STEPS = 20
+FAST_STEPS = 15
 FAST_CFG_INTERVAL = (0.0, 0.75)
 FAST_CACHE_ENCODER = 2
 
