@@ -136,11 +136,15 @@ def test_fast_preset_resolution():
         base.update(kw)
         return argparse.Namespace(**base)
 
+    from layoutllm_t2i_tpu.pipeline import presets
+
     a = resolve_fast_preset(ns())
-    # round-4 preset: dpm-20 + cfg interval + encoder cache 2; int8 is NOT
-    # part of the preset (measured as a speed loss on chip, PERF.md r4)
+    # the preset is whatever pipeline/presets.py says (single source of
+    # truth, decided on chip — PERF.md round 5); int8 is NOT part of it
+    # (measured as a speed loss on chip, PERF.md r4)
     assert (a.sampler, a.steps, a.cfg_interval, a.cache_encoder, a.int8) == (
-        "dpm", 20, "0.1,0.85", 2, False)
+        presets.FAST_SAMPLER, presets.FAST_STEPS,
+        presets.fast_cfg_interval_str(), presets.FAST_CACHE_ENCODER, False)
     # explicit steps survive the preset
     a = resolve_fast_preset(ns(steps=30))
     assert a.sampler == "dpm" and a.steps == 30

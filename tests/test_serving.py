@@ -203,9 +203,13 @@ def test_fast_preset_flag_semantics():
         base.update(kw)
         return argparse.Namespace(**base)
 
+    from layoutllm_t2i_tpu.pipeline import presets
+
     a = apply_fast_preset(ns())
     assert (a.sampler, a.steps, a.cfg_interval, a.cache_encoder,
-            a.int8) == ("dpm", 20, "0.1,0.85", 2, False)
+            a.int8) == (presets.FAST_SAMPLER, presets.FAST_STEPS,
+                        presets.fast_cfg_interval_str(),
+                        presets.FAST_CACHE_ENCODER, False)
 
     # explicit encoder-cache interval wins over the preset's 2
     a = apply_fast_preset(ns(cache_encoder=3))
