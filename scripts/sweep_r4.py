@@ -142,6 +142,12 @@ def main():
                          encoder_cache_interval=2), B, IT, False),
         ("fastq3", dict(steps=20, sampler="dpm", cfg_interval=(0.0, 0.75),
                         encoder_cache_interval=3), B, IT, False),
+        # round-5 frontier completion beyond the chosen fastq15 preset:
+        # dpm-12 and dpm-15+enc3 map where the quality knee actually is
+        ("fastq12", dict(steps=12, sampler="dpm", cfg_interval=(0.0, 0.75),
+                         encoder_cache_interval=2), B, IT, False),
+        ("fastq15e3", dict(steps=15, sampler="dpm", cfg_interval=(0.0, 0.75),
+                           encoder_cache_interval=3), B, IT, False),
     ]
     only = set(sys.argv[1:])
 
